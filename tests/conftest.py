@@ -1,0 +1,19 @@
+"""Test configuration: force an 8-device virtual CPU mesh.
+
+This is the standard JAX answer to testing multi-chip sharding without a
+real slice: every test sees 8 CPU 'devices' and jax.sharding code paths
+compile and execute for real.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_enable_x64", False)

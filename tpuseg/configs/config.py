@@ -1,0 +1,151 @@
+"""Single typed configuration tree.
+
+Replaces the reference's three overlapping mechanisms — the global
+``config.py`` module (reference ``code/lib/archs/modules/config.py:1-67``),
+the ``DataSettings -> ModelSettings -> TrainingSettings`` class hierarchy
+(``code/settings/CVPPP/*.py``) and per-CLI argparse defaults — with one
+frozen dataclass tree.  Hyperparameter values mirror the reference's
+*effective* values (e.g. ``max_iter=2`` — the reference defines it twice,
+32 then 2, ``config.py:8,56``; the effective value is 2).
+
+Deliberate deviations from reference accidents (documented per field):
+  * ``entropy_clamp_hi`` is ``1 - 1e-7``; the reference writes
+    ``clamp(1e-7, 1. - 1e7)`` (``attenet2.py:77``) which is a sign typo.
+  * no hardcoded absolute paths (reference ``config.py:5`` etc.).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+
+@dataclasses.dataclass(frozen=True)
+class DataConfig:
+    """Dataset contracts. Reference: settings/CVPPP/data_settings.py:3-19."""
+
+    dataset: str = "CVPPP"
+    base_path: str = "data"
+    n_classes: int = 2
+    max_n_objects: int = 32
+    image_height: int = 256  # reference config.py:1, model_settings.py:20
+    image_width: int = 256
+    # Per-channel mean/std of the raw RGB dataset
+    # (reference model_settings.py:12-13). Kept for the normalizer capability;
+    # the live pipeline uses the 21-channel standardizer instead
+    # (lib/utils.py:82-83).
+    mean: Tuple[float, float, float] = (0.519, 0.371, 0.324)
+    std: Tuple[float, float, float] = (0.223, 0.166, 0.142)
+    class_weights: Optional[Tuple[float, ...]] = None
+    # Augmentation switches (reference training_settings.py:37-46).
+    hflip: bool = True
+    vflip: bool = True
+    transpose: bool = True
+    rot90: bool = True
+    rotation: bool = True
+    color_jitter: bool = False
+    grayscale: bool = False
+    channel_swap: bool = False
+    gamma: bool = False
+    resolution: bool = False
+    center_cut: bool = True  # training_settings.py:52
+    n_channels: int = 21  # RGB+LAB+HSV+YUV+YCbCr+HED+YIQ (lib/utils.py:100-110)
+
+
+@dataclasses.dataclass(frozen=True)
+class DecoderConfig:
+    """Instance decoder dims and loss weights.
+
+    Reference: config.py:15-26,45-51,56-67 and attenet2.py.
+    """
+
+    d_model: int = 24
+    d_k: int = 12
+    d_v: int = 12
+    d_inner: int = 40
+    d_h: int = 20
+    n_head: int = 2
+    num_layers: int = 1  # config.py:20 decoer_num_layers
+    focal_gamma: float = 2.0  # config.py:16
+    ce_weight: float = 10.0  # config.py:18
+    lov_weight: float = 10.0  # config.py:19
+    lambda_l: float = 0.5  # config.py:45
+    lambda_r: float = 2.0  # config.py:46
+    lambda_e: float = 5.0  # config.py:47
+    lambda_pn: float = 0.01  # config.py:48
+    lambda_ins: float = 1.0  # config.py:49
+    pyramid_weights: Tuple[float, ...] = (16.0, 8.0, 4.0, 2.0, 1.0)  # config.py:51
+    max_iter: int = 2  # effective value, config.py:56 (overrides 32 @ :8)
+    use_mask: bool = True  # config.py:58
+    use_encode: bool = True  # config.py:59
+    use_pyramid: bool = True  # config.py:60
+    drop_rate: float = 0.5  # config.py:64
+    position_type: int = 1  # config.py:67
+    baseline_momentum: float = 0.9  # attenet2.py:266 EMA of -eval_dice
+    # Intended value of the reference's entropy clamp (attenet2.py:77 typo).
+    entropy_clamp_lo: float = 1e-7
+    entropy_clamp_hi: float = 1.0 - 1e-7
+    # Instance-extraction inference (new working path; the reference's
+    # instance inference crashes, see SURVEY.md quirk #2): stop emitting
+    # instances once the remaining foreground fraction drops below this.
+    min_remaining_frac: float = 0.003
+    smooth: float = 1.0  # dice smooth (attenet2.py:39-44)
+
+
+@dataclasses.dataclass(frozen=True)
+class ModelConfig:
+    """Backbone/heads. Reference: reseg.py + unet_model.py."""
+
+    name: str = "ReSeg"
+    n_filters: int = 32  # unet_model.py:21
+    use_instance_segmentation: bool = True  # model_settings.py:17
+    use_coordinates: bool = False  # model_settings.py:18
+    use_wae: bool = False  # training_settings.py:54
+    # Discriminative-loss capability knobs (model_settings.py:23-25).
+    delta_var: float = 0.5
+    delta_dist: float = 1.5
+    norm: int = 2
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    """Optimizer/schedule. Reference: training_settings.py:27-34, train.py."""
+
+    batch_size: int = 2  # config.py:4
+    n_epochs: int = 600
+    optimizer: str = "Adadelta"  # training_settings.py:27
+    learning_rate: float = 1.0  # training_settings.py:29
+    lr_drop_factor: float = 0.5  # training_settings.py:30
+    lr_drop_patience: int = 25  # training_settings.py:31
+    weight_decay: float = 0.001  # training_settings.py:32
+    clip_grad_norm: float = 10.0  # training_settings.py:34
+    criterion: str = "Multi"  # training_settings.py:48
+    optimize_bg: bool = False
+    train_cnn: bool = True
+    seed: int = 23  # training_settings.py:53
+    n_workers: int = 2
+
+
+@dataclasses.dataclass(frozen=True)
+class EvalConfig:
+    dice_smooth_eps: float = 0.0  # evaluate.py uses raw ratio (no smooth)
+
+
+@dataclasses.dataclass(frozen=True)
+class Config:
+    data: DataConfig = dataclasses.field(default_factory=DataConfig)
+    model: ModelConfig = dataclasses.field(default_factory=ModelConfig)
+    decoder: DecoderConfig = dataclasses.field(default_factory=DecoderConfig)
+    train: TrainConfig = dataclasses.field(default_factory=TrainConfig)
+    eval: EvalConfig = dataclasses.field(default_factory=EvalConfig)
+
+    def replace(self, **kw) -> "Config":
+        return dataclasses.replace(self, **kw)
+
+
+def cvppp_config(**overrides) -> Config:
+    """The CVPPP configuration matching the reference's effective settings."""
+    cfg = Config()
+    if overrides:
+        cfg = dataclasses.replace(cfg, **overrides)
+    return cfg
