@@ -1,0 +1,137 @@
+"""Benchmark: pred_list-style batched inference throughput.
+
+Prints ONE JSON line:
+  {"metric": "pred_list_images_per_sec", "value": N, "unit": "images/s",
+   "vs_baseline": R}
+
+The baseline (reference-equivalent) is the serial single-image pipeline
+the reference runs (``code/pred_list.py:63``): per image host
+preprocessing + a batch-1 forward + instance assignment, measured on CPU
+with batch size 1 and no batching — i.e. this framework operated the way
+the reference operates.  The measurement is cached in
+``BENCH_BASELINE.json`` so reruns compare against a stable number.
+
+The TPU path is the redesigned pipeline: fixed-size batches through one
+jitted program (on-device 21-channel expansion + UNet + semantic head +
+iterative instance extraction).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import numpy as np
+
+N_IMAGES = 64
+BATCH = 16
+BASELINE_FILE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "BENCH_BASELINE.json")
+
+
+def _synthetic_images(n, h, w, seed=0):
+    from tpuseg.data.synthetic import make_scene
+
+    rng = np.random.default_rng(seed)
+    return np.stack([make_scene(rng, h, w)[0] for _ in range(n)])
+
+
+def _build():
+    from tpuseg.cli.common import build_model, init_variables
+    from tpuseg.configs import cvppp_config
+
+    cfg = cvppp_config()
+    model = build_model(cfg)
+    variables = init_variables(cfg, model, seed=0)
+    return cfg, model, variables
+
+
+def measure_tpu(cfg, model, variables, images) -> float:
+    import jax
+    import jax.numpy as jnp
+
+    from tpuseg.data.colorspace import image_ex_standardize
+
+    @jax.jit
+    def infer(variables, x_u8):
+        x = image_ex_standardize(x_u8)
+        return model.apply(variables, x, mode="infer")
+
+    batches = [
+        jnp.asarray(images[i : i + BATCH])
+        for i in range(0, len(images), BATCH)
+    ]
+    # warmup / compile (np.asarray forces full materialisation — on the
+    # tunnelled axon backend block_until_ready alone does not synchronise)
+    _ = np.asarray(infer(variables, batches[0])[2])
+    t0 = time.perf_counter()
+    for b in batches:
+        sem, idmap, counts = infer(variables, b)
+        # the real pipeline transfers all artifacts to host; include that
+        _ = np.asarray(idmap), np.asarray(counts), np.asarray(sem)
+    dt = time.perf_counter() - t0
+    return len(images) / dt
+
+
+def measure_baseline_serial_cpu(cfg, model, variables, images) -> float:
+    """Reference-style operation: serial, batch 1, CPU, host preprocessing."""
+    import jax
+    import jax.numpy as jnp
+
+    from tpuseg.data.colorspace import image_ex_standardize
+
+    cpu = jax.local_devices(backend="cpu")[0]
+    with jax.default_device(cpu):
+        cpu_vars = jax.device_put(variables, cpu)
+
+        @jax.jit
+        def infer1(variables, x_u8):
+            x = image_ex_standardize(x_u8)
+            return model.apply(variables, x, mode="infer")
+
+        n = min(3, len(images))
+        _ = np.asarray(infer1(cpu_vars, jnp.asarray(images[:1]))[2])
+        t0 = time.perf_counter()
+        for i in range(n):
+            sem, idmap, counts = infer1(cpu_vars, jnp.asarray(images[i : i + 1]))
+            _ = np.asarray(idmap), np.asarray(counts), np.asarray(sem)
+        dt = time.perf_counter() - t0
+    return n / dt
+
+
+def main():
+    cfg, model, variables = _build()
+    images = _synthetic_images(N_IMAGES, cfg.data.image_height,
+                               cfg.data.image_width)
+    ips = measure_tpu(cfg, model, variables, images)
+
+    if os.path.isfile(BASELINE_FILE):
+        with open(BASELINE_FILE) as f:
+            baseline = json.load(f)["serial_cpu_images_per_sec"]
+    else:
+        baseline = measure_baseline_serial_cpu(cfg, model, variables, images)
+        with open(BASELINE_FILE, "w") as f:
+            json.dump(
+                {
+                    "serial_cpu_images_per_sec": baseline,
+                    "note": "reference-equivalent serial batch-1 CPU pipeline",
+                },
+                f,
+                indent=2,
+            )
+
+    print(
+        json.dumps(
+            {
+                "metric": "pred_list_images_per_sec",
+                "value": round(ips, 3),
+                "unit": "images/s",
+                "vs_baseline": round(ips / baseline, 2) if baseline else None,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,88 @@
+"""Batch inference CLI — reference ``code/pred_list.py`` contract.
+
+Same flags (--lst --model --usegpu --dataset), same output layout
+``outputs/<dataset>/<modeldir>-<model>/<subset>/<image>/`` with the four
+artifacts + ``-n_objects.npy`` (pred_list.py:33-35,89-99), but the serial
+per-image loop (pred_list.py:63) is replaced by fixed-size batches through
+one jitted TPU program (preprocess + forward + instance extraction fused).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import numpy as np
+from PIL import Image
+
+from tpuseg.cli.common import build_model, colorize_instances, load_variables
+from tpuseg.runtime.predict import Predictor
+from tpuseg.settings import get_config
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--lst", required=True,
+                        help="Text file that contains image paths")
+    parser.add_argument("--model", required=True, help="Path of the model")
+    parser.add_argument("--usegpu", action="store_true",
+                        help="kept for CLI parity; accelerator use is automatic")
+    parser.add_argument("--dataset", type=str, required=True,
+                        help='Name of the dataset which is "CVPPP"')
+    parser.add_argument("--batchsize", type=int, default=8)
+    parser.add_argument("--output", default="",
+                        help="override the output directory")
+    opt = parser.parse_args(argv)
+
+    assert opt.dataset in ["CVPPP"]
+    images_list = np.loadtxt(opt.lst, dtype="str", delimiter=",", ndmin=1)
+    model_path = opt.model
+
+    _subset = os.path.basename(opt.lst).split("_")[0]
+    _model_name = os.path.splitext(os.path.basename(model_path))[0]
+    _model_dir = os.path.basename(os.path.dirname(model_path))
+    if opt.output:
+        output_path = os.path.abspath(opt.output)
+    else:
+        output_path = os.path.abspath(
+            os.path.join(
+                os.path.dirname(os.path.abspath(__file__)), os.path.pardir,
+                os.path.pardir, "outputs", opt.dataset,
+                _model_dir + "-" + _model_name, _subset,
+            )
+        )
+    os.makedirs(output_path, exist_ok=True)
+
+    cfg = get_config(opt.dataset)
+    model = build_model(cfg)
+    variables = load_variables(
+        cfg, model, model_path if os.path.isdir(model_path) else ""
+    )
+    predictor = Predictor(cfg, model, variables, batch_size=opt.batchsize)
+
+    image_names = [
+        os.path.splitext(os.path.basename(p))[0] for p in images_list
+    ]
+    for name, res in zip(
+        image_names, predictor.predict_paths([str(p) for p in images_list])
+    ):
+        out_dir = os.path.join(output_path, name)
+        os.makedirs(out_dir, exist_ok=True)
+        fg = (res["fg_mask"] * 255).astype(np.uint8)
+        ins = res["ins_mask"].astype(np.uint8)
+        Image.fromarray(res["image"]).save(os.path.join(out_dir, name + ".png"))
+        Image.fromarray(fg).save(os.path.join(out_dir, name + "-fg_mask.png"))
+        Image.fromarray(ins).save(os.path.join(out_dir, name + "-ins_mask.png"))
+        Image.fromarray(colorize_instances(ins)).save(
+            os.path.join(out_dir, name + "-ins_mask_color.png")
+        )
+        np.save(
+            os.path.join(out_dir, name + "-n_objects.npy"),
+            np.asarray(res["n_objects"]),
+        )
+    print(f"wrote {len(image_names)} predictions to {output_path}")
+    return output_path
+
+
+if __name__ == "__main__":
+    main()

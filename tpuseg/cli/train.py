@@ -1,0 +1,112 @@
+"""Training CLI — reference ``code/train.py`` contract.
+
+Same flags (--model --usegpu --nepochs --batchsize --debug --nworkers
+--dataset) plus explicit data paths.  Creates a timestamped run dir
+(reference ``generate_run_id``, train.py:46), snapshots the effective
+config (instead of copying the source tree, train.py:66-71), seeds
+everything from TrainingSettings.SEED=23, and runs the fit loop.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import datetime
+import getpass
+import json
+import os
+import random
+
+import jax
+import numpy as np
+
+from tpuseg.cli.common import build_model, init_variables
+from tpuseg.data.dataset import AlignCollate, batches
+from tpuseg.data.records import open_dataset
+from tpuseg.runtime.checkpoint import restore_checkpoint
+from tpuseg.runtime.loop import fit
+from tpuseg.runtime.state import create_train_state
+from tpuseg.settings import default_data_paths, get_config
+
+
+def generate_run_id() -> str:
+    """Reference train.py:46-56 format: date_time_user_random."""
+    username = getpass.getuser()
+    now = datetime.datetime.now()
+    date = f"{now.year}-{now.month}-{now.day}"
+    coarse = now.time().replace(microsecond=0).isoformat().replace(":", "-")[:5]
+    fine = now.time().replace(microsecond=0).isoformat().replace(":", "-")[3:]
+    return f"{date}_{coarse}_{username}_{fine}-{random.randint(0, 10000)}"
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--model", default="",
+                        help="Path to a checkpoint to resume from")
+    parser.add_argument("--usegpu", action="store_true",
+                        help="kept for CLI parity; accelerator use is automatic")
+    parser.add_argument("--nepochs", type=int, default=600)
+    parser.add_argument("--batchsize", type=int, default=2)
+    parser.add_argument("--debug", action="store_true")
+    parser.add_argument("--nworkers", type=int, default=2)
+    parser.add_argument("--dataset", type=str, required=True)
+    parser.add_argument("--train_data", default="",
+                        help="packed-record prefix (or LMDB dir) for training")
+    parser.add_argument("--val_data", default="")
+    parser.add_argument("--runs_dir", default="models")
+    opt = parser.parse_args(argv)
+
+    cfg = get_config(opt.dataset)
+    cfg = dataclasses.replace(
+        cfg,
+        train=dataclasses.replace(
+            cfg.train, batch_size=opt.batchsize, n_epochs=opt.nepochs
+        ),
+    )
+
+    run_dir = os.path.join(opt.runs_dir, opt.dataset, generate_run_id())
+    os.makedirs(run_dir, exist_ok=True)
+    with open(os.path.join(run_dir, "config.json"), "w") as f:
+        json.dump(dataclasses.asdict(cfg), f, indent=2, default=str)
+    print(f"run dir: {run_dir}")
+
+    # seed everything (reference train.py:78-80, SEED=23)
+    random.seed(cfg.train.seed)
+    np.random.seed(cfg.train.seed)
+
+    train_path, val_path = default_data_paths(cfg, opt.dataset)
+    train_ds = open_dataset(opt.train_data or train_path)
+    val_ds = open_dataset(opt.val_data or val_path)
+    print(f"train: {len(train_ds)} samples, val: {len(val_ds)} samples")
+
+    train_collate = AlignCollate("training", cfg.data, cfg.train.batch_size)
+    val_collate = AlignCollate("test", cfg.data, cfg.train.batch_size)
+
+    def train_batches(epoch):
+        return batches(
+            train_ds, train_collate, cfg.train.batch_size, shuffle=True,
+            seed=cfg.train.seed, epoch=epoch,
+        )
+
+    def val_batches(epoch):
+        return batches(
+            val_ds, val_collate, cfg.train.batch_size, shuffle=False,
+            seed=cfg.train.seed, epoch=epoch,
+        )
+
+    model = build_model(cfg)
+    variables = init_variables(cfg, model, seed=cfg.train.seed)
+    state = create_train_state(cfg, variables)
+    if opt.model:
+        state = restore_checkpoint(opt.model, state)
+        print(f"resumed from {opt.model} at step {int(state.step)}")
+
+    fit(
+        cfg, model, state, train_batches, val_batches, run_dir,
+        n_epochs=opt.nepochs, rng=jax.random.PRNGKey(cfg.train.seed),
+        log_every=10 if opt.debug else 0,
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -59,10 +59,12 @@ def dice_matrix(
 
 def _best_dice(d: jnp.ndarray, valid_rows: jnp.ndarray, valid_cols: jnp.ndarray):
     """Mean over valid rows of the max dice against valid columns
-    (``evaluate.py:31-50``)."""
+    (``evaluate.py:31-50``).  When either side has no instances the
+    reference crashes on ``np.max([])``; here the best dice is defined
+    as 0 (worst) instead."""
     d = jnp.where(valid_cols[None, :], d, -jnp.inf)
     row_best = jnp.max(d, axis=1)
-    row_best = jnp.where(valid_rows, row_best, 0.0)
+    row_best = jnp.where(valid_rows & jnp.isfinite(row_best), row_best, 0.0)
     n = jnp.maximum(jnp.sum(valid_rows), 1)
     return jnp.sum(row_best) / n
 

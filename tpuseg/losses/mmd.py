@@ -120,6 +120,7 @@ def _select_points(
     (k, 2) coordinate array + (k,) validity weights.
     """
     h, w = prob_map.shape
+    k = min(k, h * w)
     u = jax.random.uniform(key, prob_map.shape)
     accept = prob_map > u * threshold
     # random priority among accepted, -inf for rejected

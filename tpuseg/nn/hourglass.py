@@ -1,0 +1,67 @@
+"""Recurrent Hourglass (Payer et al. 2018) — NHWC flax port.
+
+Reference: ``code/lib/archs/modules/recurrent_hourglass.py:8-125``:
+n_levels of pre-conv + ConvGRU unrolling, then a reverse pass of post
+convs with additive skip connections.  (The ``StackedRecurrentHourglass``
+architecture that consumed it is missing from the reference repo —
+SURVEY.md quirk #1 — so the cell is the capability.)
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from tpuseg.nn.conv_gru import ConvGRUCell
+from tpuseg.nn.coord_conv import CoordConv
+
+
+class RecurrentHourglass(nn.Module):
+    hidden_n_filters: int
+    kernel_size: int
+    n_levels: int
+    embedding_size: int
+    use_coordinates: bool = False
+    dtype: Optional[jnp.dtype] = None
+
+    def _conv(self, features, name):
+        pad = self.kernel_size // 2
+        if self.use_coordinates:
+            return CoordConv(
+                features, self.kernel_size, padding=pad, with_r=True,
+                dtype=self.dtype, name=name,
+            )
+        return nn.Conv(
+            features, (self.kernel_size, self.kernel_size), padding=pad,
+            dtype=self.dtype, name=name,
+        )
+
+    @nn.compact
+    def __call__(self, x):
+        assert self.n_levels >= 1
+        gru = ConvGRUCell(
+            self.hidden_n_filters, self.kernel_size, self.use_coordinates,
+            dtype=self.dtype, name="convgru_cell",
+        )
+        outputs = []
+        hidden = None
+        for i in range(self.n_levels):
+            x = nn.relu(self._conv(self.hidden_n_filters, f"pre_conv{i}")(x))
+            hidden = gru(x, hidden)
+            outputs.append(hidden)
+        post = nn.relu(
+            self._conv(
+                self.embedding_size
+                if self.n_levels == 1
+                else self.hidden_n_filters,
+                f"post_conv{self.n_levels - 1}",
+            )(outputs[-1])
+        )
+        for i in range(self.n_levels - 2, -1, -1):
+            post = post + outputs[i]
+            feats = self.embedding_size if i == 0 else self.hidden_n_filters
+            post = nn.relu(self._conv(feats, f"post_conv{i}")(post))
+        return post

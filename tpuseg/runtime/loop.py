@@ -1,0 +1,102 @@
+"""Epoch fit loop — the ``Model.fit`` equivalent (reference
+``code/lib/model.py:358-464``).
+
+Per epoch: train minibatches -> aggregate metrics -> validation pass ->
+plateau LR step on the validation cost -> best-val checkpoint keyed on
+``ins_dice_loss`` (model.py:426-439) -> CSV/jsonl logging.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Callable, Dict, Iterable, Optional
+
+import jax
+import numpy as np
+
+from tpuseg.configs import Config
+from tpuseg.runtime.checkpoint import save_checkpoint
+from tpuseg.runtime.metrics_log import MetricLogger
+from tpuseg.runtime.state import TrainState
+from tpuseg.runtime.train import make_eval_step, make_train_step
+
+
+def _aggregate(metric_list) -> Dict[str, float]:
+    out: Dict[str, float] = {}
+    if not metric_list:
+        return out
+    keys = metric_list[0].keys()
+    for k in keys:
+        out[k] = float(np.mean([float(m[k]) for m in metric_list]))
+    return out
+
+
+def fit(
+    cfg: Config,
+    model,
+    state: TrainState,
+    train_batches: Callable[[int], Iterable],
+    val_batches: Callable[[int], Iterable],
+    run_dir: str,
+    n_epochs: Optional[int] = None,
+    rng=None,
+    log_every: int = 0,
+) -> TrainState:
+    """train_batches/val_batches: callables epoch -> iterable of batch dicts
+    (host numpy or device arrays, fixed shapes)."""
+    n_epochs = n_epochs or cfg.train.n_epochs
+    rng = rng if rng is not None else jax.random.PRNGKey(cfg.train.seed)
+    train_step = make_train_step(cfg, model, train_cnn=cfg.train.train_cnn)
+    eval_step = make_eval_step(cfg, model)
+    logger = MetricLogger(run_dir)
+    best_val = np.inf
+    val_key = "ins_dice_loss" if cfg.model.use_instance_segmentation else (
+        "dice_cost" if cfg.train.criterion in ("Dice", "Multi") else "ce_cost"
+    )
+
+    for epoch in range(n_epochs):
+        t0 = time.time()
+        train_metrics = []
+        for batch in train_batches(epoch):
+            rng, sub = jax.random.split(rng)
+            state, m = train_step(state, batch, sub)
+            train_metrics.append(m)
+            if log_every and len(train_metrics) % log_every == 0:
+                print(
+                    f"epoch {epoch} it {len(train_metrics)}: "
+                    f"cost={float(m['cost']):.4f}"
+                )
+        agg_train = _aggregate(train_metrics)
+        logger.log("train", epoch, agg_train, cost_key=val_key)
+
+        val_metrics = []
+        for batch in val_batches(epoch):
+            rng, sub = jax.random.split(rng)
+            val_metrics.append(eval_step(state, batch, sub))
+        agg_val = _aggregate(val_metrics)
+        logger.log("val", epoch, agg_val, cost_key=val_key)
+
+        val_cost = agg_val.get(val_key, agg_val.get("cost", 0.0))
+        state = state.replace(plateau=state.plateau.step(val_cost))
+
+        dur = time.time() - t0
+        print(
+            f"Epoch [{epoch}/{n_epochs}] {dur:.1f}s "
+            f"train={ {k: round(v, 4) for k, v in agg_train.items()} } "
+            f"val={ {k: round(v, 4) for k, v in agg_val.items()} } "
+            f"lr={float(state.plateau.lr):.4g}"
+        )
+
+        if val_cost <= best_val:
+            best_val = val_cost
+            ckpt_path = os.path.join(
+                os.path.abspath(run_dir),
+                f"model_{epoch}_{val_cost:.8f}_{float(state.plateau.lr):.4g}",
+            )
+            save_checkpoint(
+                ckpt_path, state,
+                metadata={"epoch": epoch, "val_cost": float(val_cost)},
+            )
+    logger.close()
+    return state

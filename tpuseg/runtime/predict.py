@@ -1,0 +1,134 @@
+"""Batched inference pipeline.
+
+Replaces the reference ``Prediction`` + serial ``pred_list.py`` loop
+(``code/lib/prediction.py``, ``code/pred_list.py:63-99``): images are
+loaded and bilinear-resized on host, then processed in fixed-size batches
+through one jitted program that fuses the 21-channel expansion, the UNet
+forward, and the iterative instance extraction.  The per-image KMeans over
+embeddings (prediction.py:52-85, the discriminative-loss lineage) is kept
+as an on-device capability in ``tpuseg.runtime.cluster``.
+
+Outputs match the reference artifact semantics: foreground mask (argmax),
+per-pixel instance id mask, instance count, nearest-neighbour upsampled to
+each image's native resolution (prediction.py:47-50).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, Iterator, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from PIL import Image
+
+from tpuseg.configs import Config
+from tpuseg.data import augment as A
+from tpuseg.data.colorspace import image_ex_standardize
+from tpuseg.parallel import make_mesh, shard_batch
+
+
+class Predictor:
+    def __init__(
+        self,
+        cfg: Config,
+        model,
+        variables,
+        batch_size: int = 8,
+        use_mesh: bool = False,
+        max_instances: Optional[int] = None,
+    ):
+        self.cfg = cfg
+        self.model = model
+        self.variables = variables
+        self.batch_size = batch_size
+        self.mesh = make_mesh() if use_mesh else None
+        if self.mesh is not None:
+            n = self.mesh.devices.size
+            self.batch_size = max(batch_size // n, 1) * n
+        self.max_instances = max_instances
+
+        @jax.jit
+        def _infer(variables, images_u8):
+            x = image_ex_standardize(images_u8)
+            sem_probs, idmap, counts = model.apply(
+                variables, x, mode="infer", max_instances=max_instances
+            )
+            fg = jnp.argmax(sem_probs, axis=-1).astype(jnp.uint8)
+            return sem_probs, fg, idmap.astype(jnp.int32), counts
+
+        self._infer = _infer
+
+        @jax.jit
+        def _infer_semantic(variables, images_u8):
+            x = image_ex_standardize(images_u8)
+            return model.apply(variables, x, mode="semantic")
+
+        self._infer_semantic = _infer_semantic
+
+    # ------------------------------------------------------------------
+    def _load(self, path: str) -> Tuple[np.ndarray, np.ndarray, Tuple[int, int]]:
+        img = Image.open(path).convert("RGB")
+        w, h = img.size
+        resized = np.array(
+            A.resize(img, self.cfg.data.image_height, self.cfg.data.image_width)
+        )
+        return np.array(img), resized.astype(np.uint8), (h, w)
+
+    @staticmethod
+    def _upsample_nearest(arr: np.ndarray, hw: Tuple[int, int]) -> np.ndarray:
+        """cv2.INTER_NEAREST equivalent via PIL (prediction.py:47-50)."""
+        return np.array(
+            Image.fromarray(arr).resize((hw[1], hw[0]), A.NEAREST)
+        )
+
+    # ------------------------------------------------------------------
+    def predict_batch_arrays(self, images_u8: np.ndarray):
+        """images_u8: (B, H, W, 3). Returns (sem_probs, fg, idmap, counts)
+        device arrays."""
+        x = jnp.asarray(images_u8)
+        if self.mesh is not None:
+            x = shard_batch(x, self.mesh)
+        return self._infer(self.variables, x)
+
+    def predict_paths(self, paths: Sequence[str]) -> Iterator[Dict]:
+        """Yields per image: dict(image, fg_mask (native res, {0,1} uint8),
+        ins_mask (native res, int ids), n_objects)."""
+        n = len(paths)
+        bs = self.batch_size
+        for start in range(0, n, bs):
+            chunk = list(paths[start : start + bs])
+            n_valid = len(chunk)
+            while len(chunk) < bs:
+                chunk.append(chunk[-1])
+            raws, resized, sizes = zip(*[self._load(p) for p in chunk])
+            _, fg, idmap, counts = self.predict_batch_arrays(np.stack(resized))
+            fg = np.asarray(fg)
+            idmap = np.asarray(idmap)
+            counts = np.asarray(counts)
+            for i in range(n_valid):
+                yield {
+                    "path": chunk[i],
+                    "image": raws[i],
+                    "fg_mask": self._upsample_nearest(fg[i], sizes[i]),
+                    "ins_mask": self._upsample_nearest(
+                        idmap[i].astype(np.int32), sizes[i]
+                    ).astype(np.uint8),
+                    "n_objects": int(counts[i]),
+                }
+
+    def predict_semantic(self, path: str) -> Dict:
+        """Semantic-only single-image path (reference pred.py __main__,
+        pred.py:110-123): returns the fg probability map at native res."""
+        raw, resized, size = self._load(path)
+        probs = np.asarray(
+            self._infer_semantic(self.variables, jnp.asarray(resized[None]))
+        )[0]
+        fg_prob = probs[..., 1]
+        up = np.array(
+            Image.fromarray(fg_prob.astype(np.float32)).resize(
+                (size[1], size[0]), A.NEAREST
+            )
+        )
+        return {"image": raw, "fg_prob": up}

@@ -1,0 +1,148 @@
+"""jitted train/eval steps.
+
+Mirrors the reference minibatch semantics (``code/lib/model.py:190-284``):
+total cost = instance decoder loss + semantic CE + semantic Dice(time=1)
+under criterion 'Multi' (model.py:245-269), gradient clipping inside the
+optimizer chain, BN stats and the REINFORCE baseline threaded through the
+state.
+
+Data parallelism: steps are plain jit functions; under a
+``jax.sharding.Mesh`` the caller passes batch arrays sharded along 'data'
+and replicated state — XLA inserts the ICI all-reduce for the gradient
+mean automatically (SURVEY.md §5.8).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from tpuseg.configs import Config
+from tpuseg.data.colorspace import image_ex_standardize
+from tpuseg.losses.dice import dice_loss
+from tpuseg.losses.focal import softmax_cross_entropy
+from tpuseg.runtime.state import TrainState
+
+
+def prepare_images(images: jnp.ndarray) -> jnp.ndarray:
+    """On-device preprocessing: raw uint8 RGB batches are expanded to the
+    21-channel standardized representation inside the jitted step; already
+    expanded inputs pass through."""
+    if images.shape[-1] == 3:
+        return image_ex_standardize(images)
+    return images
+
+
+def total_cost(
+    cfg: Config, sem_logits, sem_onehot, dec_losses, train: bool
+) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
+    """ins cost + CE + Dice per criterion 'Multi' (model.py:245-269)."""
+    metrics: Dict[str, jnp.ndarray] = {}
+    cost = 0.0
+    if dec_losses is not None:
+        cost = cost + dec_losses["loss"]
+        metrics["ins_cost"] = dec_losses["loss"]
+        metrics["criterion"] = dec_losses["criterion"]
+        metrics["ins_ce_loss"] = dec_losses["ins_ce_loss"]
+        metrics["ins_dice_loss"] = dec_losses["ins_dice_loss"]
+    crit = cfg.train.criterion
+    n_classes = cfg.data.n_classes
+    if crit in ("CE", "Multi"):
+        labels = jnp.argmax(sem_onehot, axis=-1).reshape(-1)
+        cw = (
+            jnp.asarray(cfg.data.class_weights)
+            if cfg.data.class_weights is not None
+            else None
+        )
+        ce = softmax_cross_entropy(
+            sem_logits.reshape(-1, n_classes), labels, cw
+        )
+        cost = cost + ce
+        metrics["ce_cost"] = ce
+    if crit in ("Dice", "Multi"):
+        d = dice_loss(
+            sem_logits, sem_onehot, optimize_bg=cfg.train.optimize_bg,
+            smooth=1.0, time=1,
+        )
+        cost = cost + d
+        metrics["dice_cost"] = d
+    metrics["cost"] = cost
+    return cost, metrics
+
+
+def make_train_step(cfg: Config, model, train_cnn: bool = True):
+    """Returns train_step(state, batch, rng) -> (state, metrics).
+
+    batch: dict(images (B,H,W,21), sem_onehot (B,H,W,C),
+                ins_masks (B,H,W,N), n_objects (B,)).
+    ``train_cnn=False`` freezes the UNet backbone (reference
+    model.py:199-201) by zeroing its gradients.
+    """
+
+    def loss_fn(params, state: TrainState, batch, rng):
+        variables = {
+            "params": params,
+            "batch_stats": state.batch_stats,
+            "decoder_state": state.decoder_state,
+        }
+        r1, r2 = jax.random.split(rng)
+        (sem_logits, _, dec_losses), mut = model.apply(
+            variables,
+            prepare_images(batch["images"]),
+            batch["sem_onehot"],
+            batch["ins_masks"],
+            batch["n_objects"],
+            train=True,
+            mode="loss",
+            rngs={"glimpse": r1, "dropout": r2},
+            mutable=["batch_stats", "decoder_state"],
+        )
+        cost, metrics = total_cost(
+            cfg, sem_logits, batch["sem_onehot"], dec_losses, train=True
+        )
+        return cost, (metrics, mut)
+
+    @jax.jit
+    def train_step(state: TrainState, batch, rng):
+        grads, (metrics, mut) = jax.grad(loss_fn, has_aux=True)(
+            state.params, state, batch, rng
+        )
+        if not train_cnn:
+            grads = {**grads, "base": jax.tree.map(jnp.zeros_like, grads["base"])}
+        state = state.apply_gradients(
+            grads,
+            batch_stats=mut["batch_stats"],
+            decoder_state=mut["decoder_state"],
+        )
+        metrics["grad_norm"] = jnp.sqrt(
+            sum(jnp.sum(g * g) for g in jax.tree_util.tree_leaves(grads))
+        )
+        return state, metrics
+
+    return train_step
+
+
+def make_eval_step(cfg: Config, model):
+    """Returns eval_step(state, batch, rng) -> metrics (no state update)."""
+
+    @jax.jit
+    def eval_step(state: TrainState, batch, rng):
+        sem_logits, _, dec_losses = model.apply(
+            state.model_variables,
+            prepare_images(batch["images"]),
+            batch["sem_onehot"],
+            batch["ins_masks"],
+            batch["n_objects"],
+            train=False,
+            mode="loss",
+            rngs={"glimpse": rng},
+        )
+        _, metrics = total_cost(
+            cfg, sem_logits, batch["sem_onehot"], dec_losses, train=False
+        )
+        return metrics
+
+    return eval_step
