@@ -24,8 +24,8 @@ import time
 
 import numpy as np
 
-N_IMAGES = 64
-BATCH = 16
+N_IMAGES = 128
+BATCH = 32
 BASELINE_FILE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                              "BENCH_BASELINE.json")
 
@@ -37,12 +37,12 @@ def _synthetic_images(n, h, w, seed=0):
     return np.stack([make_scene(rng, h, w)[0] for _ in range(n)])
 
 
-def _build():
+def _build(dtype=None):
     from tpuseg.cli.common import build_model, init_variables
     from tpuseg.configs import cvppp_config
 
     cfg = cvppp_config()
-    model = build_model(cfg)
+    model = build_model(cfg, dtype=dtype)
     variables = init_variables(cfg, model, seed=0)
     return cfg, model, variables
 
@@ -66,9 +66,10 @@ def measure_tpu(cfg, model, variables, images) -> float:
     # tunnelled axon backend block_until_ready alone does not synchronise)
     _ = np.asarray(infer(variables, batches[0])[2])
     t0 = time.perf_counter()
-    for b in batches:
-        sem, idmap, counts = infer(variables, b)
-        # the real pipeline transfers all artifacts to host; include that
+    # dispatch every batch asynchronously, then drain results — overlaps
+    # device compute with host transfers (the real pipeline does the same)
+    outs = [infer(variables, b) for b in batches]
+    for sem, idmap, counts in outs:
         _ = np.asarray(idmap), np.asarray(counts), np.asarray(sem)
     dt = time.perf_counter() - t0
     return len(images) / dt
@@ -101,7 +102,10 @@ def measure_baseline_serial_cpu(cfg, model, variables, images) -> float:
 
 
 def main():
-    cfg, model, variables = _build()
+    import jax.numpy as jnp
+
+    # bfloat16 compute path for the TPU measurement (params stay f32)
+    cfg, model, variables = _build(dtype=jnp.bfloat16)
     images = _synthetic_images(N_IMAGES, cfg.data.image_height,
                                cfg.data.image_width)
     ips = measure_tpu(cfg, model, variables, images)
@@ -110,7 +114,11 @@ def main():
         with open(BASELINE_FILE) as f:
             baseline = json.load(f)["serial_cpu_images_per_sec"]
     else:
-        baseline = measure_baseline_serial_cpu(cfg, model, variables, images)
+        # baseline is measured with the f32 model (reference-equivalent)
+        cfg32, model32, variables32 = _build(dtype=None)
+        baseline = measure_baseline_serial_cpu(
+            cfg32, model32, variables32, images
+        )
         with open(BASELINE_FILE, "w") as f:
             json.dump(
                 {

@@ -1,0 +1,117 @@
+"""End-to-end learning evidence: train on synthetic leaves, show the
+validation SBD/FG-Dice improve far beyond random init.
+
+Runs at a reduced resolution for fast TPU iteration; exercises the FULL
+stack: records -> augmented loader -> jitted train step (glimpse decoder,
+REINFORCE) -> checkpointed params -> batched instance extraction ->
+vectorized SBD scoring.
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), os.pardir))
+
+import dataclasses
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tpuseg.cli.common import build_model, init_variables
+from tpuseg.configs import cvppp_config
+from tpuseg.data.colorspace import image_ex_standardize
+from tpuseg.data.dataset import AlignCollate
+from tpuseg.data.loader import PrefetchLoader
+from tpuseg.data.records import SegRecordDataset
+from tpuseg.data.synthetic import write_synthetic_records
+from tpuseg.evalm import symmetric_best_dice_batch, calc_dice
+from tpuseg.runtime import create_train_state, make_train_step
+
+
+def evaluate(cfg, model, variables, ds, n=8, max_ids=32):
+    """Instance-extract on val samples; return (mean SBD, mean fg dice)."""
+    collate = AlignCollate("test", cfg.data, n)
+    samples = [ds[i % len(ds)] for i in range(n)]
+    batch = collate(samples).asdict()
+    infer = jax.jit(
+        lambda v, x: model.apply(v, image_ex_standardize(x), mode="infer")
+    )
+    _, idmap, counts = infer(variables, jnp.asarray(batch["images"]))
+    idmap = np.asarray(idmap)
+    gt_label = np.zeros(idmap.shape, np.int32)
+    for b in range(n):
+        ins = batch["ins_masks"][b]
+        for j in range(int(batch["n_objects"][b])):
+            gt_label[b][ins[:, :, j] > 0] = j + 1
+    sbd = float(np.mean(np.asarray(
+        symmetric_best_dice_batch(gt_label, idmap, max_ids=max_ids))))
+    fg = float(np.mean([
+        float(calc_dice(gt_label[b] > 0, idmap[b] > 0)) for b in range(n)
+    ]))
+    return sbd, fg, np.asarray(counts)
+
+
+def main(epochs=200, res=128, n_train=32, n_val=8, batch_size=8, eval_every=40):
+    cfg = cvppp_config()
+    cfg = dataclasses.replace(
+        cfg,
+        data=dataclasses.replace(
+            cfg.data, image_height=res, image_width=res, max_n_objects=16
+        ),
+        train=dataclasses.replace(cfg.train, batch_size=batch_size),
+    )
+    root = "/tmp/tpuseg_e2e"
+    os.makedirs(root, exist_ok=True)
+    write_synthetic_records(f"{root}/train", n_train, seed=1, height=res, width=res,
+                            min_leaves=3, max_leaves=8)
+    write_synthetic_records(f"{root}/val", n_val, seed=2, height=res, width=res,
+                            min_leaves=3, max_leaves=8)
+    train_ds = SegRecordDataset(f"{root}/train")
+    val_ds = SegRecordDataset(f"{root}/val")
+
+    model = build_model(cfg)
+    variables = init_variables(cfg, model, seed=cfg.train.seed)
+    state = create_train_state(cfg, variables)
+
+    sbd0, fg0, c0 = evaluate(cfg, model, state.model_variables, val_ds, n_val)
+    print(f"random init: SBD={sbd0:.4f} FG={fg0:.4f} counts={c0}", flush=True)
+
+    loader = PrefetchLoader(
+        train_ds, AlignCollate("training", cfg.data, batch_size), batch_size,
+        shuffle=True, seed=cfg.train.seed, n_workers=4,
+    )
+    step = make_train_step(cfg, model)
+    key = jax.random.PRNGKey(cfg.train.seed)
+    t0 = time.time()
+    for epoch in range(epochs):
+        costs, ces, dices = [], [], []
+        for batch in loader.epoch(epoch):
+            key, sub = jax.random.split(key)
+            batch = {k: jnp.asarray(v) for k, v in batch.items()}
+            state, m = step(state, batch, sub)
+            costs.append(float(m["cost"]))
+            ces.append(float(m["ce_cost"]))
+            dices.append(float(m["dice_cost"]))
+        if epoch % 10 == 0 or epoch == epochs - 1:
+            print(f"epoch {epoch}: cost {np.mean(costs):.3f} "
+                  f"sem_ce {np.mean(ces):.3f} sem_dice {np.mean(dices):.3f} "
+                  f"({time.time()-t0:.0f}s)", flush=True)
+        if (epoch + 1) % eval_every == 0:
+            sbd, fg, counts = evaluate(cfg, model, state.model_variables,
+                                       val_ds, n_val)
+            print(f"  eval @{epoch}: SBD={sbd:.4f} FG={fg:.4f} "
+                  f"counts={counts}", flush=True)
+
+    sbd1, fg1, c1 = evaluate(cfg, model, state.model_variables, val_ds, n_val)
+    print(f"after {epochs} epochs: SBD={sbd1:.4f} FG={fg1:.4f} counts={c1}",
+          flush=True)
+    print(f"SBD {sbd0:.4f} -> {sbd1:.4f} ; FG dice {fg0:.4f} -> {fg1:.4f}",
+          flush=True)
+    assert fg1 > fg0 + 0.1, "fg dice did not improve enough"
+    print("SYNTHETIC E2E TRAINING CHECK PASSED", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -32,6 +32,8 @@ def main(argv=None):
     parser.add_argument("--batchsize", type=int, default=8)
     parser.add_argument("--output", default="",
                         help="override the output directory")
+    parser.add_argument("--f32", action="store_true",
+                        help="disable the bfloat16 inference compute path")
     opt = parser.parse_args(argv)
 
     assert opt.dataset in ["CVPPP"]
@@ -53,8 +55,10 @@ def main(argv=None):
         )
     os.makedirs(output_path, exist_ok=True)
 
+    import jax.numpy as jnp
+
     cfg = get_config(opt.dataset)
-    model = build_model(cfg)
+    model = build_model(cfg, dtype=None if opt.f32 else jnp.bfloat16)
     variables = load_variables(
         cfg, model, model_path if os.path.isdir(model_path) else ""
     )

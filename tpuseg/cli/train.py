@@ -21,7 +21,8 @@ import jax
 import numpy as np
 
 from tpuseg.cli.common import build_model, init_variables
-from tpuseg.data.dataset import AlignCollate, batches
+from tpuseg.data.dataset import AlignCollate
+from tpuseg.data.loader import PrefetchLoader
 from tpuseg.data.records import open_dataset
 from tpuseg.runtime.checkpoint import restore_checkpoint
 from tpuseg.runtime.loop import fit
@@ -81,18 +82,20 @@ def main(argv=None):
 
     train_collate = AlignCollate("training", cfg.data, cfg.train.batch_size)
     val_collate = AlignCollate("test", cfg.data, cfg.train.batch_size)
+    train_loader = PrefetchLoader(
+        train_ds, train_collate, cfg.train.batch_size, shuffle=True,
+        seed=cfg.train.seed, n_workers=opt.nworkers,
+    )
+    val_loader = PrefetchLoader(
+        val_ds, val_collate, cfg.train.batch_size, shuffle=False,
+        seed=cfg.train.seed, n_workers=opt.nworkers,
+    )
 
     def train_batches(epoch):
-        return batches(
-            train_ds, train_collate, cfg.train.batch_size, shuffle=True,
-            seed=cfg.train.seed, epoch=epoch,
-        )
+        return train_loader.epoch(epoch)
 
     def val_batches(epoch):
-        return batches(
-            val_ds, val_collate, cfg.train.batch_size, shuffle=False,
-            seed=cfg.train.seed, epoch=epoch,
-        )
+        return val_loader.epoch(epoch)
 
     model = build_model(cfg)
     variables = init_variables(cfg, model, seed=cfg.train.seed)

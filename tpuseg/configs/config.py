@@ -89,6 +89,9 @@ class DecoderConfig:
     # instance inference crashes, see SURVEY.md quirk #2): stop emitting
     # instances once the remaining foreground fraction drops below this.
     min_remaining_frac: float = 0.003
+    # Use the Pallas fused masked-softmax kernel for the per-instance
+    # hard-attention distributions (tpuseg/kernels/masked_softmax.py).
+    use_pallas_softmax: bool = False
     smooth: float = 1.0  # dice smooth (attenet2.py:39-44)
 
 

@@ -43,6 +43,51 @@ class Batch:
         }
 
 
+def otsu_threshold(gray: np.ndarray) -> float:
+    """Otsu's method on a grayscale [0,1] image (numpy; the reference uses
+    skimage.filters.threshold_otsu, dataset.py:86-88)."""
+    hist, edges = np.histogram(gray.reshape(-1), bins=256, range=(0.0, 1.0))
+    hist = hist.astype(np.float64)
+    centers = (edges[:-1] + edges[1:]) / 2
+    w0 = np.cumsum(hist)
+    w1 = w0[-1] - w0
+    m0 = np.cumsum(hist * centers)
+    mu0 = np.where(w0 > 0, m0 / np.maximum(w0, 1e-12), 0)
+    mu1 = np.where(w1 > 0, (m0[-1] - m0) / np.maximum(w1, 1e-12), 0)
+    between = w0 * w1 * (mu0 - mu1) ** 2
+    return float(centers[int(np.argmax(between))])
+
+
+class TransferDataset:
+    """Image-folder dataset generating pseudo fg masks via Otsu threshold
+    (domain-transfer experiment; reference ``TransferDataset``,
+    dataset.py:78-95, debug-only)."""
+
+    EXTS = (".png", ".jpg", ".jpeg", ".bmp")
+
+    def __init__(self, img_path: str):
+        import os
+
+        self.samples = sorted(
+            os.path.join(root, f)
+            for root, _, files in os.walk(img_path)
+            for f in files
+            if f.lower().endswith(self.EXTS)
+        )
+
+    def __len__(self):
+        return len(self.samples)
+
+    def __getitem__(self, i: int):
+        img = Image.open(self.samples[i]).convert("RGB")
+        arr = np.asarray(img, np.float32) / 255.0
+        gray = arr @ np.array([0.2125, 0.7154, 0.0721], np.float32)
+        th = otsu_threshold(gray)
+        semantic = (gray >= th).astype(np.uint8)
+        instance = semantic[:, :, None]
+        return img, semantic, instance, 1
+
+
 class AlignCollate:
     def __init__(self, mode: str, cfg: DataConfig, batch_size: int):
         assert mode in ("training", "test")

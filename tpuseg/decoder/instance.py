@@ -301,13 +301,15 @@ class InstanceDecoder(nn.Module):
     cfg: DecoderConfig
     max_n_objects: int = 32
     dtype: Optional[jnp.dtype] = None
+    extract_loop: str = "scan"  # "scan" | "while" (early exit) | "unroll1"
 
     def _attend(self, encode, sem_mask, target, train):
         s_sp = SpatialAttention(
             d_model=self.cfg.d_model, dtype=self.dtype, name="s_sp"
         )(encode, sem_mask, train=train)
         pro_split, pro_merge = HardAttention(
-            d_k=self.cfg.d_k, dtype=self.dtype, name="attend"
+            d_k=self.cfg.d_k, use_pallas=self.cfg.use_pallas_softmax,
+            dtype=self.dtype, name="attend",
         )(s_sp, sem_mask, target, train=train)
         return pro_split, pro_merge
 
@@ -437,6 +439,7 @@ class InstanceDecoder(nn.Module):
             "idmap": jnp.zeros((b, h, w), jnp.int32),
             "count": jnp.zeros((b,), jnp.int32),
             "done": fg_px <= min_pixels,
+            "k": jnp.zeros((), jnp.int32),
         }
         const = {
             "score": pro_merge,
@@ -444,11 +447,42 @@ class InstanceDecoder(nn.Module):
             "feats": feats,
             "min_pixels": min_pixels,
         }
+        step_kwargs = dict(
+            cfg=cfg, train=False, mode="extract", dtype=self.dtype,
+            name="glimpse",
+        )
+        if self.is_initializing() or self.extract_loop == "unroll1":
+            # create params once; the loops below only read them
+            step = _GlimpseStep(**step_kwargs)
+            carry, _ = step(carry0, const, {"k": carry0["k"]})
+            return carry["idmap"], carry["count"]
+
+        if self.extract_loop == "while":
+            step = _GlimpseStep(**step_kwargs)
+            # early-exit loop: stop as soon as every sample's foreground is
+            # exhausted — data-dependent trip count.  NOTE: compiles slowly
+            # through the remote-compile tunnel; the scan path is default.
+            def cond_fn(mdl, c):
+                return jnp.logical_and(
+                    c["k"] < k_static, jnp.any(jnp.logical_not(c["done"]))
+                )
+
+            def body_fn(mdl, c):
+                k = c["k"]
+                new, _ = mdl({key: v for key, v in c.items() if key != "k"},
+                             const, {"k": k})
+                new["k"] = k + 1
+                return new
+
+            carry = nn.while_loop(cond_fn, body_fn, step, carry0)
+            return carry["idmap"], carry["count"]
+
+        # default: fixed-length scan over K slots (done samples carry
+        # through unchanged; wasted slots cost compute but compile fast)
+        del carry0["k"]
         xs = {"k": jnp.arange(k_static, dtype=jnp.int32)}
         scan = _scanned(
-            dict(cfg=cfg, train=False, mode="extract", dtype=self.dtype,
-                 name="glimpse"),
-            length=k_static, carry_stats=False, need_rngs=False,
+            step_kwargs, length=k_static, carry_stats=False, need_rngs=False,
         )
         carry, _ = scan(carry0, const, xs)
         return carry["idmap"], carry["count"]

@@ -19,6 +19,7 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 _IMQ_SCALES = (0.1, 0.2, 0.5, 1.0, 2.0, 5.0, 10.0)
 
@@ -163,6 +164,70 @@ def decoder_mmd_loss(
     keys = jax.random.split(key, b)
     losses = jax.vmap(per_sample)(jnp.arange(b), keys)
     return jnp.sum(losses)
+
+
+def _pool(x: jnp.ndarray, f: int, mode: str) -> jnp.ndarray:
+    """(B, H, W) max/avg pooling by factor f."""
+    x4 = x[..., None]
+    import flax.linen as fnn
+
+    out = (
+        fnn.max_pool(x4, (f, f), strides=(f, f))
+        if mode == "max"
+        else fnn.avg_pool(x4, (f, f), strides=(f, f))
+    )
+    return out[..., 0]
+
+
+def mmd_loss_pooled(
+    inputs: jnp.ndarray,
+    targets: jnp.ndarray,
+    key: jax.Array,
+    pool_factor: int = 4,
+    sigma2_k: float = 64.0,
+    max_points: int = 256,
+) -> jnp.ndarray:
+    """Pooled sampled point-cloud RBF-MMD + area term.
+
+    Reference ``MmdLoss`` (``multi_loss.py:77-142``): threshold-sample both
+    maps, max-pool the selection and avg-pool the probabilities by 4, then
+    per-sample weighted RBF MMD over the selected coordinate clouds plus a
+    squared area-difference term.  inputs: (B, L) flat probability maps with
+    L a square; targets: (B, L) or (B, h, w).
+    """
+    b, l = inputs.shape[0], int(np.prod(inputs.shape[1:]))
+    side = int(l**0.5)
+    x = inputs.reshape(b, side, side)
+    t = targets.reshape(b, side, side).astype(x.dtype)
+    th_x = jnp.maximum(jnp.mean(x) * side * side / 500.0, 0.01)
+    th_t = jnp.maximum(jnp.mean(t) * side * side / 100.0, 0.01)
+    kx, kt = jax.random.split(key)
+    sel_x = (x > jax.random.uniform(kx, x.shape) * th_x).astype(x.dtype)
+    sel_t = (t > jax.random.uniform(kt, t.shape) * th_t).astype(x.dtype)
+    sel_x = _pool(sel_x, pool_factor, "max")
+    sel_t = _pool(sel_t, pool_factor, "max")
+    px = _pool(x, pool_factor, "avg")
+    pt = _pool(t, pool_factor, "avg")
+    hs = side // pool_factor
+    rows = jax.lax.broadcasted_iota(jnp.float32, (hs, hs), 0)
+    cols = jax.lax.broadcasted_iota(jnp.float32, (hs, hs), 1)
+    coords = jnp.stack([rows, cols], -1).reshape(-1, 2)
+    k = min(max_points, hs * hs)
+
+    def per_sample(i, kk):
+        wx = (px[i] * sel_x[i]).reshape(-1)
+        wt = (pt[i] * sel_t[i]).reshape(-1)
+        ok = (jnp.sum(sel_x[i]) > 0) & (jnp.sum(sel_t[i]) > 0)
+        loss = mmd_penalty_with_p(coords, coords, wx, wt, kernel="RBF",
+                                  sigma2_k=sigma2_k)
+        return jnp.where(ok, loss, 0.0)
+
+    keys = jax.random.split(key, b)
+    position_loss = jax.vmap(per_sample)(jnp.arange(b), keys)
+    area = (jnp.sum(px.reshape(b, -1), 1) - jnp.sum(pt.reshape(b, -1), 1)) ** 2 / (
+        hs * hs
+    )
+    return position_loss + area
 
 
 def gl_loss(encode: jnp.ndarray, decode: jnp.ndarray) -> jnp.ndarray:

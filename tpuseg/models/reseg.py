@@ -70,6 +70,7 @@ class _InsStem(nn.Module):
 class ReSeg(nn.Module):
     cfg: Config
     dtype: Optional[jnp.dtype] = None
+    extract_loop: str = "scan"
 
     def _backbone(self, images, train):
         x_dec, skips = UNet(
@@ -113,6 +114,7 @@ class ReSeg(nn.Module):
             cfg=cfg.decoder,
             max_n_objects=cfg.data.max_n_objects,
             dtype=self.dtype,
+            extract_loop=self.extract_loop,
             name="decoder",
         )
         x_enc = _InsStem(cfg.decoder.d_model, dtype=self.dtype, name="ins_stem")(

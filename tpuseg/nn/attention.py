@@ -189,6 +189,7 @@ class HardAttention(nn.Module):
     """
 
     d_k: int = 12
+    use_pallas: bool = False
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
@@ -205,7 +206,17 @@ class HardAttention(nn.Module):
         e = avg_pool_3x3_same(e) * sem_seg  # (b,h,w,1)
 
         ins = ins_seg.astype(jnp.float32)
-        logits = jnp.where(ins > 0, e, _NEG_INF).reshape(b, h * w, n)
+        if self.use_pallas:
+            from tpuseg.kernels.masked_softmax import masked_softmax_pallas
+
+            p = masked_softmax_pallas(
+                e.reshape(b, h * w).astype(jnp.float32),
+                ins.reshape(b, h * w, n),
+            ).reshape(b, h, w, n)
+            return p, e
+        logits = jnp.where(ins > 0, e.astype(jnp.float32), _NEG_INF).reshape(
+            b, h * w, n
+        )
         p = jax.nn.softmax(logits, axis=1)
         # zero out empty instances (reference NaN-scrub, utils.py:655)
         nonempty = jnp.sum(ins.reshape(b, h * w, n), axis=1, keepdims=True) > 0

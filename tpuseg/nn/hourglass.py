@@ -65,3 +65,44 @@ class RecurrentHourglass(nn.Module):
             feats = self.embedding_size if i == 0 else self.hidden_n_filters
             post = nn.relu(self._conv(feats, f"post_conv{i}")(post))
         return post
+
+
+class StackedRecurrentHourglass(nn.Module):
+    """Stack of RecurrentHourglass modules with a semantic and an
+    embedding head.
+
+    The reference names this architecture (``archs/__init__.py:1``,
+    ``model.py:40``) but ships no implementation — the file is missing
+    (SURVEY.md quirk #1).  This is a working reconstruction of the
+    published design (Payer et al. 2018): N chained hourglasses over the
+    input, then 1x1 heads for n_classes semantic logits and an
+    embedding map for the discriminative loss.
+    """
+
+    n_stacks: int = 2
+    hidden_n_filters: int = 64
+    kernel_size: int = 3
+    n_levels: int = 4
+    embedding_size: int = 32
+    n_classes: int = 2
+    use_coordinates: bool = False
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x):
+        feats = x
+        for s in range(self.n_stacks):
+            feats = RecurrentHourglass(
+                hidden_n_filters=self.hidden_n_filters,
+                kernel_size=self.kernel_size,
+                n_levels=self.n_levels,
+                embedding_size=self.embedding_size,
+                use_coordinates=self.use_coordinates,
+                dtype=self.dtype,
+                name=f"hourglass{s}",
+            )(feats)
+        sem = nn.Conv(self.n_classes, (1, 1), dtype=self.dtype,
+                      name="sem_head")(feats)
+        emb = nn.Conv(self.embedding_size, (1, 1), dtype=self.dtype,
+                      name="emb_head")(feats)
+        return sem, emb
