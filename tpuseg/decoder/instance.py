@@ -258,13 +258,22 @@ class _GlimpseStep(nn.Module):
         ).astype(jnp.float32).reshape(b, h, w, 1)
         m = jnp.clip(m * remaining + point_plane * remaining, 0.0, 1.0)
 
+        # a degenerate extraction (mask below the minimum instance size)
+        # means the attention peak no longer finds a real instance: stop
+        # this sample instead of splitting scraps forever.
+        m_px = jnp.sum(m.reshape(b, -1), axis=1)
+        valid_inst = m_px >= min_pixels
+        emit = active & valid_inst
+
         inst_id = (carry["count"] + 1).astype(jnp.int32)
-        take = active[:, None, None, None] & (m > 0) & (carry["idmap"][..., None] == 0)
+        take = emit[:, None, None, None] & (m > 0) & (carry["idmap"][..., None] == 0)
         idmap = jnp.where(take[..., 0], inst_id[:, None, None], carry["idmap"])
-        count = carry["count"] + active.astype(jnp.int32)
-        remaining = remaining * (1.0 - m)
+        count = carry["count"] + emit.astype(jnp.int32)
+        remaining = jnp.where(
+            emit[:, None, None, None], remaining * (1.0 - m), remaining
+        )
         rem_px = jnp.sum(remaining.reshape(b, -1), axis=1)
-        done = carry["done"] | (rem_px <= min_pixels)
+        done = carry["done"] | (rem_px <= min_pixels) | (active & ~valid_inst)
 
         return {
             "remaining": remaining,

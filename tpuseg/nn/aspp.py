@@ -17,8 +17,10 @@ from tpuseg.nn.blocks import ConvBN, Conv1x1BN, InvertedResidual
 
 
 def _instance_norm(x, name=None):
+    # torch InstanceNorm2d default: affine=False (the reference relies on
+    # the default in its ASPP blocks, utils.py:354,359)
     return nn.GroupNorm(
-        num_groups=None, group_size=1, use_bias=True, use_scale=True,
+        num_groups=None, group_size=1, use_bias=False, use_scale=False,
         name=name,
     )(x)
 

@@ -28,6 +28,18 @@ def default_data_paths(cfg: Config, dataset: str):
 
 
 # Class-style aliases for reference-API familiarity.
+class CVPPPDataSettings:
+    """Reference ``DataSettings`` (settings/CVPPP/data_settings.py:3-19)."""
+
+    def __init__(self):
+        cfg = cvppp_config()
+        self.cfg = cfg
+        self.BASE_PATH = cfg.data.base_path
+        self.CLASS_WEIGHTS = cfg.data.class_weights
+        self.MAX_N_OBJECTS = cfg.data.max_n_objects
+        self.N_CLASSES = cfg.data.n_classes
+
+
 class CVPPPModelSettings:
     def __init__(self):
         cfg = cvppp_config()
