@@ -44,6 +44,18 @@ def _build(dtype=None):
     cfg = cvppp_config()
     model = build_model(cfg, dtype=dtype)
     variables = init_variables(cfg, model, seed=0)
+    # trained synthetic weights (tools/train_synthetic_e2e.py) give the
+    # extraction a realistic instance-count workload; conv weights are
+    # resolution-independent, so the 128-trained model runs at 256.
+    ckpt = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "assets",
+        "synthetic_ckpt.msgpack",
+    )
+    if os.path.isfile(ckpt):
+        import flax.serialization
+
+        with open(ckpt, "rb") as f:
+            variables = flax.serialization.from_bytes(dict(variables), f.read())
     return cfg, model, variables
 
 
@@ -55,8 +67,12 @@ def measure_tpu(cfg, model, variables, images) -> float:
 
     @jax.jit
     def infer(variables, x_u8):
+        # compact uint8 outputs: the host link (~60 MB/s through the
+        # tunnel) is the bottleneck, not compute
         x = image_ex_standardize(x_u8)
-        return model.apply(variables, x, mode="infer")
+        sem_probs, idmap, counts = model.apply(variables, x, mode="infer")
+        fg = jnp.argmax(sem_probs, axis=-1).astype(jnp.uint8)
+        return fg, idmap.astype(jnp.uint8), counts.astype(jnp.int32)
 
     batches = [
         jnp.asarray(images[i : i + BATCH])
@@ -69,8 +85,8 @@ def measure_tpu(cfg, model, variables, images) -> float:
     # dispatch every batch asynchronously, then drain results — overlaps
     # device compute with host transfers (the real pipeline does the same)
     outs = [infer(variables, b) for b in batches]
-    for sem, idmap, counts in outs:
-        _ = np.asarray(idmap), np.asarray(counts), np.asarray(sem)
+    for fg, idmap, counts in outs:
+        _ = np.asarray(fg), np.asarray(idmap), np.asarray(counts)
     dt = time.perf_counter() - t0
     return len(images) / dt
 
@@ -103,6 +119,10 @@ def measure_baseline_serial_cpu(cfg, model, variables, images) -> float:
 
 def main():
     import jax.numpy as jnp
+
+    from tpuseg.utils import enable_compilation_cache
+
+    enable_compilation_cache()
 
     # bfloat16 compute path for the TPU measurement (params stay f32)
     cfg, model, variables = _build(dtype=jnp.bfloat16)

@@ -117,3 +117,20 @@ def test_debug_image_dump(tmp_path):
     for f in ["p_0.jpg", "pred_0.jpg", "target_0.jpg", "proall.jpg",
               "pro.jpg", "mas.jpg"]:
         assert f in files, files
+
+
+def test_random_resized_crop():
+    from tpuseg.data.augment import random_resized_crop
+
+    rng = np.random.default_rng(0)
+    img = Image.fromarray(
+        (np.random.RandomState(0).rand(48, 64, 3) * 255).astype(np.uint8)
+    )
+    out, params = random_resized_crop(img, 32, 32, rng)
+    assert out.size == (32, 32)
+    i, j, h, w = params
+    assert 0 <= i and i + h <= 48 and 0 <= j and j + w <= 64
+    # same params applied to a mask give an identical geometric crop
+    mask = Image.fromarray(np.zeros((48, 64), np.uint8))
+    out2, params2 = random_resized_crop(mask, 32, 32, rng, params=params)
+    assert params2 == params and out2.size == (32, 32)

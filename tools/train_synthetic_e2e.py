@@ -109,6 +109,25 @@ def main(epochs=200, res=128, n_train=32, n_val=8, batch_size=8, eval_every=40):
           flush=True)
     print(f"SBD {sbd0:.4f} -> {sbd1:.4f} ; FG dice {fg0:.4f} -> {fg1:.4f}",
           flush=True)
+
+    # persist the trained weights: bench.py uses them so its extraction
+    # workload has realistic instance counts
+    import flax.serialization
+
+    out = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), os.pardir, "assets",
+        "synthetic_ckpt.msgpack",
+    )
+    os.makedirs(os.path.dirname(out), exist_ok=True)
+    payload = {
+        "params": state.params,
+        "batch_stats": state.batch_stats,
+        "decoder_state": state.decoder_state,
+    }
+    with open(out, "wb") as f:
+        f.write(flax.serialization.to_bytes(payload))
+    print(f"saved weights to {out}", flush=True)
+
     assert fg1 > fg0 + 0.1, "fg dice did not improve enough"
     print("SYNTHETIC E2E TRAINING CHECK PASSED", flush=True)
 

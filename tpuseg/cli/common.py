@@ -44,6 +44,13 @@ def load_variables(cfg: Config, model: ReSeg, model_path: str = "", seed: int = 
     """Init and (optionally, non-strictly) restore from an orbax ckpt dir —
     the reference's merge-style load (model.py:62-79)."""
     variables = init_variables(cfg, model, seed)
+    if model_path and model_path.endswith(".msgpack"):
+        import flax.serialization
+
+        print(f"Loading model from {model_path}")
+        with open(model_path, "rb") as f:
+            restored = flax.serialization.from_bytes(dict(variables), f.read())
+        return restored
     if model_path:
         from tpuseg.runtime.checkpoint import restore_params_only
 

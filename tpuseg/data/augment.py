@@ -165,3 +165,42 @@ def grayscale(img, rng: np.random.Generator, p: float = 0.3):
 
 def resize(img, height: int, width: int, interpolation=BILINEAR):
     return to_pil(img).resize((width, height), interpolation)
+
+
+def random_resized_crop_params(
+    size_wh: Tuple[int, int], rng: np.random.Generator,
+    scale=(0.08, 1.0), ratio=(3.0 / 4.0, 4.0 / 3.0),
+):
+    """Sample (i, j, h, w) crop params (reference RandomResizedCrop.
+    get_params, preprocess.py:107-138): random area/aspect with a
+    center-square fallback."""
+    w_img, h_img = size_wh
+    area = w_img * h_img
+    for _ in range(10):
+        target_area = rng.uniform(*scale) * area
+        aspect = rng.uniform(*ratio)
+        w = int(round((target_area * aspect) ** 0.5))
+        h = int(round((target_area / aspect) ** 0.5))
+        if rng.random() < 0.5:
+            w, h = h, w
+        if w <= w_img and h <= h_img:
+            i = int(rng.integers(0, h_img - h + 1))
+            j = int(rng.integers(0, w_img - w + 1))
+            return i, j, h, w
+    w = min(w_img, h_img)
+    return (h_img - w) // 2, (w_img - w) // 2, w, w
+
+
+def random_resized_crop(
+    img, out_height: int, out_width: int, rng: np.random.Generator,
+    interpolation=BILINEAR, params=None,
+):
+    """Crop to a random size/aspect then resize (reference
+    RandomResizedCrop, preprocess.py:90-148).  Pass the same ``params`` to
+    apply an identical crop to masks."""
+    pil = to_pil(img)
+    if params is None:
+        params = random_resized_crop_params(pil.size, rng)
+    i, j, h, w = params
+    crop = pil.crop((j, i, j + w, i + h))
+    return crop.resize((out_width, out_height), interpolation), params

@@ -39,7 +39,7 @@ import jax
 import jax.numpy as jnp
 
 from tpuseg.configs import DecoderConfig
-from tpuseg.decoder.pyramid import AttenDecoder
+from tpuseg.decoder.pyramid import AttenDecoder, skip_transform_shapes
 from tpuseg.losses.dice import dice_loss
 from tpuseg.losses.focal import focal_loss, softmax_cross_entropy
 from tpuseg.nn.attention import HardAttention, SpatialAttention
@@ -131,7 +131,10 @@ class _GlimpseStep(nn.Module):
     @nn.compact
     def __call__(self, carry, const, xs):
         cfg = self.cfg
-        bone = AttenDecoder(cfg=cfg, dtype=self.dtype, name="bone")
+        n_filters = const["feats"][0].shape[-1]
+        bone = AttenDecoder(
+            cfg=cfg, n_filters=n_filters, dtype=self.dtype, name="bone"
+        )
         if self.mode == "loss":
             return self._loss_step(bone, carry, const, xs)
         return self._extract_step(bone, carry, const, xs)
@@ -245,12 +248,38 @@ class _GlimpseStep(nn.Module):
         )
         s = jnp.argmax(flat_scores, axis=1)
 
-        _, preds_all = bone(
-            s, feats, sem_mask, gold=None,
-            anchorpro=jax.lax.stop_gradient(score), train=False,
-        )
-        pred_last = preds_all[-1]
-        m = (pred_last[..., 1:2] > pred_last[..., 0:1]).astype(jnp.float32)
+        # The skip-feature transforms are glimpse-independent: compute them
+        # once at k==0 and carry the result through the scan (extract is
+        # eval-only, so closing over the bound module inside lax.cond
+        # branches is safe — reads only, no creation/mutation).
+        def _compute_skips(_):
+            return tuple(bone.transform_skips(feats, False))
+
+        def _reuse_skips(_):
+            return carry["skips_t"]
+
+        if self.is_initializing():
+            skips_t = _compute_skips(None)
+        else:
+            skips_t = jax.lax.cond(k == 0, _compute_skips, _reuse_skips, None)
+
+        # data-dependent cost under a static scan: once every sample is
+        # done, skip the (expensive) pyramid decode entirely — XLA cond
+        # executes only the taken branch.
+        def _decode(_):
+            _, preds_all = bone.decode(
+                s, list(skips_t), sem_mask, gold=None, train=False
+            )
+            p = preds_all[-1]
+            return (p[..., 1:2] > p[..., 0:1]).astype(jnp.float32)
+
+        def _skip(_):
+            return jnp.zeros((b, h, w, 1), jnp.float32)
+
+        if self.is_initializing():
+            m = _decode(None)
+        else:
+            m = jax.lax.cond(jnp.any(active), _decode, _skip, None)
         # the decoded instance lives inside the remaining foreground; always
         # include the glimpse pixel so progress is guaranteed.
         point_plane = (
@@ -280,6 +309,7 @@ class _GlimpseStep(nn.Module):
             "idmap": idmap,
             "count": count,
             "done": done,
+            "skips_t": tuple(skips_t),
         }, None
 
 
@@ -443,11 +473,19 @@ class InstanceDecoder(nn.Module):
         fg_px = jnp.sum(sem_mask.reshape(b, -1), axis=1)
         min_pixels = jnp.maximum(fg_px * cfg.min_remaining_frac, 1.0)
 
+        skip_dtype = self.dtype or jnp.float32
         carry0 = {
             "remaining": sem_mask.astype(jnp.float32),
             "idmap": jnp.zeros((b, h, w), jnp.int32),
             "count": jnp.zeros((b,), jnp.int32),
             "done": fg_px <= min_pixels,
+            "skips_t": tuple(
+                jnp.zeros(s, skip_dtype)
+                for s in skip_transform_shapes(
+                    b, h, w, n_filters=feats[0].shape[-1],
+                    use_mask=cfg.use_mask, position_type=cfg.position_type,
+                )
+            ),
             "k": jnp.zeros((), jnp.int32),
         }
         const = {

@@ -16,7 +16,11 @@ TPU redesign of the reference's host-side machinery:
   * ``conPosition`` (utils.py:1027-1045) — a python loop writing one pixel
     per sample — becomes a vectorised one-hot outer product;
   * level resizing of gold/attention/semantic masks (utils.py:838-867) is
-    max/avg reduce-window pooling, which XLA maps to native TPU ops.
+    max/avg reduce-window pooling, which XLA maps to native TPU ops;
+  * the skip-feature transforms (reference ``cross`` chains,
+    utils.py:977-991) are glimpse-independent, so ``transform_skips`` is
+    exposed separately — inference loops hoist it out of the per-glimpse
+    scan and reuse the result for every glimpse.
 """
 
 from __future__ import annotations
@@ -31,6 +35,37 @@ import jax.numpy as jnp
 from tpuseg.configs import DecoderConfig
 from tpuseg.nn.blocks import Conv1x1BN, InvertedResidual
 from tpuseg.nn.heads import L0Head
+
+_FACTORS = (16, 8, 4, 2, 1)
+
+
+def level_channels(n_filters: int = 32) -> Tuple[Tuple[int, ...], Tuple[int, ...]]:
+    """(skip channels coarse->fine, level output channels)."""
+    f = n_filters
+    skips = (16 * f, 8 * f, 4 * f, 2 * f, f)
+    outs = (8 * f, 4 * f, 2 * f, f, f)
+    return skips, outs
+
+
+def n_position_extra(factor: int, use_mask: bool, position_type: int) -> int:
+    return (2 * int(math.log2(factor)) if position_type else 0) + (
+        2 if use_mask else 0
+    )
+
+
+def skip_transform_shapes(
+    batch: int, height: int, width: int, n_filters: int = 32,
+    use_mask: bool = True, position_type: int = 1,
+) -> List[Tuple[int, int, int, int]]:
+    """Shapes of ``AttenDecoder.transform_skips`` outputs (coarse->fine)."""
+    _, outs = level_channels(n_filters)
+    shapes = []
+    for factor, oc in zip(_FACTORS, outs):
+        n_extra = n_position_extra(factor, use_mask, position_type)
+        shapes.append(
+            (batch, height // factor, width // factor, oc - n_extra)
+        )
+    return shapes
 
 
 def point_position_planes(
@@ -103,96 +138,80 @@ class _UpAttenLevel(nn.Module):
     position_type: int = 1
     dtype: Optional[jnp.dtype] = None
 
-    @nn.compact
-    def __call__(self, x_prev, x_skip, point_flat, mask_pre, mask_all, train: bool):
-        b, h, w, _ = x_skip.shape
-        full = (h * self.factor, w * self.factor)
-        n_extra = (2 * int(math.log2(self.factor)) if self.position_type else 0) + (
-            2 if self.use_mask else 0
+    def setup(self):
+        n_extra = n_position_extra(
+            self.factor, self.use_mask, self.position_type
         )
+        if not self.is_first:
+            self.up = nn.ConvTranspose(
+                self.out_ch, (2, 2), strides=(2, 2), dtype=self.dtype
+            )
+        self.cross1 = InvertedResidual(self.out_ch, dtype=self.dtype)
+        self.cross2 = InvertedResidual(self.out_ch - n_extra, dtype=self.dtype)
+        self.drop = nn.Dropout(rate=self.drop_rate, broadcast_dims=(1, 2))
+        self.conv1 = Conv1x1BN(self.out_ch, dtype=self.dtype)
+        self.dil1a = InvertedResidual(self.out_ch, dtype=self.dtype)
+        self.dil1b = InvertedResidual(self.out_ch, dtype=self.dtype)
+        self.dil2a = InvertedResidual(self.out_ch, dtype=self.dtype)
+        self.dil2b = InvertedResidual(self.out_ch, dtype=self.dtype)
 
-        def dropout(z):
-            return nn.Dropout(
-                rate=self.drop_rate, broadcast_dims=(1, 2),
-                deterministic=not train,
-            )(z)
+    def transform_skip(self, x_skip, train: bool = False):
+        """Glimpse-independent skip transform (reference ``cross``,
+        utils.py:977-991)."""
+        y = self.cross1(x_skip, train)
+        y = self.drop(y, deterministic=not train)
+        return self.cross2(y, train)
+
+    def __call__(self, x_prev, skip_t, point_flat, mask_pre, mask_all,
+                 train: bool = False):
+        """skip_t: precomputed ``transform_skip`` output for this level."""
+        b, h, w, _ = skip_t.shape
+        full = (h * self.factor, w * self.factor)
 
         if self.is_first:
-            y = InvertedResidual(self.out_ch, dtype=self.dtype)(x_skip, train)
-            y = dropout(y)
-            y = InvertedResidual(self.out_ch - n_extra, dtype=self.dtype)(y, train)
-            x = y
+            x = skip_t
             x1u = None
         else:
-            x1u = nn.ConvTranspose(
-                self.out_ch, (2, 2), strides=(2, 2), dtype=self.dtype
-            )(x_prev)
+            x1u = self.up(x_prev)
             gate = 1.0 if mask_pre is None else _prev_mask_gate(mask_pre, (h, w))
-            x1m = x1u * gate
-            y = InvertedResidual(self.out_ch, dtype=self.dtype)(x_skip, train)
-            y = dropout(y)
-            y = InvertedResidual(self.out_ch - n_extra, dtype=self.dtype)(y, train)
-            x = jnp.concatenate([y, x1m], axis=-1)
+            x = jnp.concatenate([skip_t, x1u * gate], axis=-1)
 
         if mask_all is not None:
-            x = jnp.concatenate([x, mask_all], axis=-1)
+            x = jnp.concatenate([x, mask_all.astype(x.dtype)], axis=-1)
         pos = point_position_planes(point_flat, full, (h, w))
         x = jnp.concatenate([x, pos.astype(x.dtype)], axis=-1)
-        x = Conv1x1BN(self.out_ch, dtype=self.dtype)(x, train)
-        x = dropout(x)
-        x = InvertedResidual(self.out_ch, dtype=self.dtype)(x, train)
-        x = InvertedResidual(self.out_ch, dtype=self.dtype)(x, train)
+        x = self.conv1(x, train)
+        x = self.drop(x, deterministic=not train)
+        x = self.dil1a(x, train)
+        x = self.dil1b(x, train)
         if not self.is_first:
             x = x + x1u
-        x = dropout(x)
-        x = InvertedResidual(self.out_ch, dtype=self.dtype)(x, train)
-        x = InvertedResidual(self.out_ch, dtype=self.dtype)(x, train)
+        x = self.drop(x, deterministic=not train)
+        x = self.dil2a(x, train)
+        x = self.dil2b(x, train)
         return x
 
 
 class AttenDecoder(nn.Module):
     """Full 5-level decoder (reference ``AttenDecoder``, attenet2.py:410-473).
 
-    Args to ``__call__``:
-      point_flat: (B,) int32 flat indices into the full-resolution H*W grid.
-      feats: UNet skips (x1..x5), resolutions 1x..1/16x.
-      sem_mask: (B, H, W, 1) semantic foreground mask.
-      gold: (B, H, W, 1) this instance's ground-truth mask (None at pure
-        inference — pyramid targets are then returned as None).
-      anchorpro: (B, H, W, 1) merged attention map (stop-gradient'd by the
-        caller, cf. attenet2.py:391).
+    ``__call__(point_flat, feats, sem_mask, gold, anchorpro, train)``
+    matches the reference semantics (transform + decode per glimpse);
+    ``transform_skips``/``decode`` expose the two halves so inference
+    loops can hoist the glimpse-independent transforms.
 
     Returns (targets, preds): 5 per-level gold masks (or Nones) and 5
     per-level 2-class logits, coarse->fine.
     """
 
     cfg: DecoderConfig
+    n_filters: int = 32
     dtype: Optional[jnp.dtype] = None
 
-    @nn.compact
-    def __call__(
-        self, point_flat, feats, sem_mask, gold=None, anchorpro=None,
-        train: bool = False,
-    ) -> Tuple[List[Optional[jnp.ndarray]], List[jnp.ndarray]]:
-        x1, x2, x3, x4, x5 = feats
-        H = x1.shape[1]
-        skips = [x5, x4, x3, x2, x1]
-        out_chs = [
-            x4.shape[-1],      # 256
-            x3.shape[-1],      # 128
-            x2.shape[-1],      # 64
-            x1.shape[-1],      # 32
-            x1.shape[-1],      # 32 (last level keeps 32, attenet2.py:418)
-        ]
-        preds: List[jnp.ndarray] = []
-        targets: List[Optional[jnp.ndarray]] = []
-        x = None
-        prev_pred = None
-        for i, (skip, oc) in enumerate(zip(skips, out_chs)):
-            f = H // skip.shape[1]
-            gold_l = _maxpool(gold, f) if gold is not None else None
-            mask_all_l = _maxpool(sem_mask, f)
-            x = _UpAttenLevel(
+    def setup(self):
+        _, outs = level_channels(self.n_filters)
+        self.levels = [
+            _UpAttenLevel(
                 out_ch=oc,
                 factor=f,
                 is_first=(i == 0),
@@ -201,9 +220,49 @@ class AttenDecoder(nn.Module):
                 position_type=self.cfg.position_type,
                 dtype=self.dtype,
                 name=f"up_atten{i}",
-            )(x, skip, point_flat, prev_pred, mask_all_l, train)
-            pred_l = L0Head(dtype=self.dtype, name=f"pred{i}")(x)
+            )
+            for i, (f, oc) in enumerate(zip(_FACTORS, outs))
+        ]
+        self.heads = [
+            L0Head(dtype=self.dtype, name=f"pred{i}") for i in range(5)
+        ]
+
+    def transform_skips(self, feats, train: bool = False) -> List[jnp.ndarray]:
+        """feats: UNet skips (x1..x5, fine->coarse). Returns transformed
+        skips coarse->fine, one per level."""
+        skips = list(reversed(feats))  # x5..x1
+        return [
+            lvl.transform_skip(s, train) for lvl, s in zip(self.levels, skips)
+        ]
+
+    def decode(
+        self, point_flat, skips_t, sem_mask, gold=None, anchorpro=None,
+        train: bool = False,
+    ) -> Tuple[List[Optional[jnp.ndarray]], List[jnp.ndarray]]:
+        del anchorpro  # consumed by dormant PN losses only (attenet2.py:260)
+        H = sem_mask.shape[1]
+        preds: List[jnp.ndarray] = []
+        targets: List[Optional[jnp.ndarray]] = []
+        x = None
+        prev_pred = None
+        for i, (lvl, head, skip_t) in enumerate(
+            zip(self.levels, self.heads, skips_t)
+        ):
+            f = H // skip_t.shape[1]
+            gold_l = _maxpool(gold, f) if gold is not None else None
+            mask_all_l = _maxpool(sem_mask, f)
+            x = lvl(x, skip_t, point_flat, prev_pred, mask_all_l, train)
+            pred_l = head(x)
             preds.append(pred_l)
             targets.append(gold_l)
             prev_pred = pred_l
         return targets, preds
+
+    def __call__(
+        self, point_flat, feats, sem_mask, gold=None, anchorpro=None,
+        train: bool = False,
+    ) -> Tuple[List[Optional[jnp.ndarray]], List[jnp.ndarray]]:
+        skips_t = self.transform_skips(feats, train)
+        return self.decode(
+            point_flat, skips_t, sem_mask, gold, anchorpro, train
+        )

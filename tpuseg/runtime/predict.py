@@ -51,6 +51,21 @@ class Predictor:
 
         @jax.jit
         def _infer(variables, images_u8):
+            """Compact outputs: host transfer through the device link is
+            the pipeline bottleneck (~60 MB/s on the tunnelled backend), so
+            masks travel as uint8 and the semantic probabilities stay on
+            device unless explicitly requested."""
+            x = image_ex_standardize(images_u8)
+            sem_probs, idmap, counts = model.apply(
+                variables, x, mode="infer", max_instances=max_instances
+            )
+            fg = jnp.argmax(sem_probs, axis=-1).astype(jnp.uint8)
+            return fg, idmap.astype(jnp.uint8), counts.astype(jnp.int32)
+
+        self._infer = _infer
+
+        @jax.jit
+        def _infer_with_probs(variables, images_u8):
             x = image_ex_standardize(images_u8)
             sem_probs, idmap, counts = model.apply(
                 variables, x, mode="infer", max_instances=max_instances
@@ -58,7 +73,7 @@ class Predictor:
             fg = jnp.argmax(sem_probs, axis=-1).astype(jnp.uint8)
             return sem_probs, fg, idmap.astype(jnp.int32), counts
 
-        self._infer = _infer
+        self._infer_with_probs = _infer_with_probs
 
         @jax.jit
         def _infer_semantic(variables, images_u8):
@@ -84,13 +99,17 @@ class Predictor:
         )
 
     # ------------------------------------------------------------------
-    def predict_batch_arrays(self, images_u8: np.ndarray):
+    def predict_batch_arrays(self, images_u8: np.ndarray, with_probs: bool = True):
         """images_u8: (B, H, W, 3). Returns (sem_probs, fg, idmap, counts)
-        device arrays."""
+        device arrays (sem_probs is None when with_probs=False — the
+        fast path that avoids the large f32 host transfer)."""
         x = jnp.asarray(images_u8)
         if self.mesh is not None:
             x = shard_batch(x, self.mesh)
-        return self._infer(self.variables, x)
+        if with_probs:
+            return self._infer_with_probs(self.variables, x)
+        fg, idmap, counts = self._infer(self.variables, x)
+        return None, fg, idmap, counts
 
     def predict_paths(self, paths: Sequence[str]) -> Iterator[Dict]:
         """Yields per image: dict(image, fg_mask (native res, {0,1} uint8),
@@ -103,7 +122,9 @@ class Predictor:
             while len(chunk) < bs:
                 chunk.append(chunk[-1])
             raws, resized, sizes = zip(*[self._load(p) for p in chunk])
-            _, fg, idmap, counts = self.predict_batch_arrays(np.stack(resized))
+            _, fg, idmap, counts = self.predict_batch_arrays(
+                np.stack(resized), with_probs=False
+            )
             fg = np.asarray(fg)
             idmap = np.asarray(idmap)
             counts = np.asarray(counts)
