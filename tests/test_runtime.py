@@ -135,3 +135,38 @@ def test_data_parallel_train_step_8_devices(setup):
     # updated params are fully replicated (all-reduced)
     leaf = jax.tree_util.tree_leaves(s1.params)[0]
     assert leaf.sharding.is_fully_replicated
+
+
+def test_fit_loop_writes_logs_and_checkpoints(tmp_path):
+    """Two-epoch fit on tiny synthetic batches: CSV/jsonl logs, best-val
+    checkpoint, plateau state advance."""
+    import os
+
+    from tpuseg.runtime.loop import fit
+
+    cfg = _tiny_cfg()
+    model = ReSeg(cfg=cfg)
+    batch = {k: jnp.asarray(v) for k, v in _batch(2).items()}
+    rng = jax.random.PRNGKey(0)
+    variables = jax.jit(model.init, static_argnames=("train", "mode"))(
+        {"params": rng, "glimpse": rng, "dropout": rng},
+        batch["images"], batch["sem_onehot"], batch["ins_masks"],
+        batch["n_objects"], train=True, mode="loss",
+    )
+    state = create_train_state(cfg, variables)
+    run_dir = os.path.join(tmp_path, "run")
+
+    def loader(epoch):
+        return [batch]
+
+    state = fit(cfg, model, state, loader, loader, run_dir, n_epochs=2,
+                rng=jax.random.PRNGKey(1))
+    assert int(state.step) == 2
+    files = os.listdir(run_dir)
+    assert "training.log" in files and "validation.log" in files
+    assert "metrics.jsonl" in files
+    with open(os.path.join(run_dir, "training.log")) as f:
+        lines = f.read().strip().splitlines()
+    assert lines[0] == "Epoch,Cost" and len(lines) == 3
+    ckpts = [f for f in files if f.startswith("model_")]
+    assert ckpts, files

@@ -73,6 +73,16 @@ def main(epochs=200, res=128, n_train=32, n_val=8, batch_size=8, eval_every=40):
 
     model = build_model(cfg)
     variables = init_variables(cfg, model, seed=cfg.train.seed)
+    ckpt_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), os.pardir, "assets",
+        "synthetic_ckpt.msgpack",
+    )
+    if os.path.isfile(ckpt_path) and os.environ.get("TPUSEG_RESUME", "0") == "1":
+        import flax.serialization
+
+        with open(ckpt_path, "rb") as f:
+            variables = flax.serialization.from_bytes(dict(variables), f.read())
+        print(f"resumed weights from {ckpt_path}", flush=True)
     state = create_train_state(cfg, variables)
 
     sbd0, fg0, c0 = evaluate(cfg, model, state.model_variables, val_ds, n_val)

@@ -59,9 +59,8 @@ def main(argv=None):
 
     cfg = get_config(opt.dataset)
     model = build_model(cfg, dtype=None if opt.f32 else jnp.bfloat16)
-    variables = load_variables(
-        cfg, model, model_path if os.path.isdir(model_path) else ""
-    )
+    usable = os.path.isdir(model_path) or model_path.endswith(".msgpack")
+    variables = load_variables(cfg, model, model_path if usable else "")
     predictor = Predictor(cfg, model, variables, batch_size=opt.batchsize)
 
     image_names = [

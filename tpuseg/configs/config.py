@@ -92,6 +92,10 @@ class DecoderConfig:
     # Use the Pallas fused masked-softmax kernel for the per-instance
     # hard-attention distributions (tpuseg/kernels/masked_softmax.py).
     use_pallas_softmax: bool = False
+    # Rematerialise the pyramid decode in the training glimpse loop:
+    # trades ~30% recompute for several-fold less activation memory
+    # (jax.checkpoint), enabling larger batches at 256^2.
+    remat: bool = True
     smooth: float = 1.0  # dice smooth (attenet2.py:39-44)
 
 

@@ -132,7 +132,13 @@ class _GlimpseStep(nn.Module):
     def __call__(self, carry, const, xs):
         cfg = self.cfg
         n_filters = const["feats"][0].shape[-1]
-        bone = AttenDecoder(
+        bone_cls = AttenDecoder
+        if self.mode == "loss" and self.train and cfg.remat:
+            # remat the pyramid decode: the backward pass recomputes level
+            # activations instead of keeping them live across the glimpse
+            # scan (arg 0 is the module; arg 6 is the static `train` flag)
+            bone_cls = nn.remat(AttenDecoder, static_argnums=(6,))
+        bone = bone_cls(
             cfg=cfg, n_filters=n_filters, dtype=self.dtype, name="bone"
         )
         if self.mode == "loss":
@@ -176,10 +182,53 @@ class _GlimpseStep(nn.Module):
         else:
             s = jnp.argmax(alpha_sg, axis=1)
 
-        targets_all, preds_all = bone(
-            s, feats, sem_mask, gold=gold,
-            anchorpro=jax.lax.stop_gradient(pro_merge), train=self.train,
-        )
+        if self.train:
+            targets_all, preds_all = bone(
+                s, feats, sem_mask, gold,
+                jax.lax.stop_gradient(pro_merge), self.train,
+            )
+            skips_t = carry.get("skips_t")
+        else:
+            # eval-loss: hoist the glimpse-independent skip transforms —
+            # compute once at k==0, carry, and decode per glimpse
+            # (eval-only: reads, no variable creation/mutation in branches)
+            def _compute_skips(_):
+                return tuple(bone.transform_skips(feats, False))
+
+            def _reuse_skips(_):
+                return carry["skips_t"]
+
+            if self.is_initializing():
+                skips_t = _compute_skips(None)
+            else:
+                skips_t = jax.lax.cond(
+                    k == 0, _compute_skips, _reuse_skips, None
+                )
+
+            # skip the decode entirely for glimpse slots beyond maxiter
+            # (their loss contribution is masked to 0 anyway)
+            def _decode(_):
+                t_all, p_all = bone.decode(
+                    s, list(skips_t), sem_mask, gold, None, False
+                )
+                return tuple(t_all), tuple(p_all)
+
+            def _skip_decode(_):
+                t_all, p_all = [], []
+                for st in skips_t:
+                    hh, ww = st.shape[1], st.shape[2]
+                    t_all.append(jnp.zeros((b, hh, ww, 1), jnp.float32))
+                    p_all.append(
+                        jnp.zeros((b, hh, ww, 2), skips_t[0].dtype)
+                    )
+                return tuple(t_all), tuple(p_all)
+
+            if self.is_initializing():
+                targets_all, preds_all = _decode(None)
+            else:
+                targets_all, preds_all = jax.lax.cond(
+                    k < maxiter, _decode, _skip_decode, None
+                )
 
         pred_last, target_last = preds_all[-1], targets_all[-1]
         eval_ce, eval_dice = evaluate_masks(
@@ -227,6 +276,8 @@ class _GlimpseStep(nn.Module):
             "dice": carry["dice"] + valid * dice_metric,
             "baseline": baseline_new,
         }
+        if not self.train:
+            new_carry["skips_t"] = tuple(skips_t)
         return new_carry, None
 
     # ---------------- inference extraction ----------------
@@ -416,6 +467,17 @@ class InstanceDecoder(nn.Module):
             "dice": jnp.zeros((), jnp.float32),
             "baseline": baseline.value,
         }
+        if not train:
+            # hoisted skip transforms carried through the eval scan
+            b_, h_, w_ = sem_mask.shape[0], sem_mask.shape[1], sem_mask.shape[2]
+            skip_dtype = self.dtype or jnp.float32
+            carry0["skips_t"] = tuple(
+                jnp.zeros(s, skip_dtype)
+                for s in skip_transform_shapes(
+                    b_, h_, w_, n_filters=feats[0].shape[-1],
+                    use_mask=cfg.use_mask, position_type=cfg.position_type,
+                )
+            )
         const = {
             "target": target,
             "pro_split": pro_split,

@@ -33,31 +33,35 @@ def _round_up(x: int, m: int) -> int:
 
 def _kernel(u0, u1, u2, xp, fw, rw, fb, rb, c0, mc, h_ref, cf_ref,
             *, length: int, activation: int, has_skip: bool):
+    # All intermediates stay 2-D (1, LANES): Mosaic requires >= 2-D
+    # vector layouts (1-D slices crash the layout pass).
     act = {0: lambda c: c, 1: jnp.tanh, 2: lambda c: jnp.maximum(c, 0.0)}[
         activation
     ]
-    fwv = fw[0, :]
-    rwv = rw[0, :]
-    fbv = fb[0, :]
-    rbv = rb[0, :]
-    mcv = mc[0, :]
+    fwv = fw[0:1, :]
+    rwv = rw[0:1, :]
+    fbv = fb[0:1, :]
+    rbv = rb[0:1, :]
+    mcv = mc[0:1, :]
 
     def body(t, c):
-        f_t = jax.nn.sigmoid(u1[t, :] + fbv + c * fwv)
-        r_t = jax.nn.sigmoid(u2[t, :] + rbv + c * rwv)
-        u0_t = u0[t, :]
+        u0_t = u0[pl.ds(t, 1), :]
+        u1_t = u1[pl.ds(t, 1), :]
+        u2_t = u2[pl.ds(t, 1), :]
+        f_t = jax.nn.sigmoid(u1_t + fbv + c * fwv)
+        r_t = jax.nn.sigmoid(u2_t + rbv + c * rwv)
         c_t = u0_t + (c - u0_t) * f_t
         g = act(c_t) * mcv
         if has_skip:
-            xp_t = xp[t, :]
+            xp_t = xp[pl.ds(t, 1), :]
             h_t = xp_t + (g - xp_t) * r_t
         else:
             h_t = g * r_t
-        h_ref[t, :] = h_t
+        h_ref[pl.ds(t, 1), :] = h_t
         return c_t
 
-    c_final = jax.lax.fori_loop(0, length, body, c0[0, :])
-    cf_ref[0, :] = c_final
+    c_final = jax.lax.fori_loop(0, length, body, c0[0:1, :])
+    cf_ref[0:1, :] = c_final
 
 
 def sru_scan_pallas(
