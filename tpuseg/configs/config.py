@@ -89,6 +89,9 @@ class DecoderConfig:
     # instance inference crashes, see SURVEY.md quirk #2): stop emitting
     # instances once the remaining foreground fraction drops below this.
     min_remaining_frac: float = 0.003
+    # consecutive degenerate glimpses tolerated before a sample's
+    # extraction stops (each miss suppresses a small disk and retries)
+    max_extract_misses: int = 3
     # Use the Pallas fused masked-softmax kernel for the per-instance
     # hard-attention distributions (tpuseg/kernels/masked_softmax.py).
     use_pallas_softmax: bool = False

@@ -339,26 +339,51 @@ class _GlimpseStep(nn.Module):
         m = jnp.clip(m * remaining + point_plane * remaining, 0.0, 1.0)
 
         # a degenerate extraction (mask below the minimum instance size)
-        # means the attention peak no longer finds a real instance: stop
-        # this sample instead of splitting scraps forever.
+        # means this attention peak found no real instance: carve a small
+        # disk around the peak out of the remaining foreground and retry
+        # elsewhere; stop the sample only after `max_misses` consecutive
+        # misses (or exhausted foreground).
         m_px = jnp.sum(m.reshape(b, -1), axis=1)
         valid_inst = m_px >= min_pixels
         emit = active & valid_inst
+        miss = active & jnp.logical_not(valid_inst)
 
         inst_id = (carry["count"] + 1).astype(jnp.int32)
         take = emit[:, None, None, None] & (m > 0) & (carry["idmap"][..., None] == 0)
         idmap = jnp.where(take[..., 0], inst_id[:, None, None], carry["idmap"])
         count = carry["count"] + emit.astype(jnp.int32)
-        remaining = jnp.where(
-            emit[:, None, None, None], remaining * (1.0 - m), remaining
+
+        # suppression disk around the missed peak (radius ~ sqrt(min_px))
+        yy = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
+        xx = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
+        pr = (s // w)[:, None, None]
+        pc = (s % w)[:, None, None]
+        radius = jnp.maximum(jnp.sqrt(min_pixels), 3.0)[:, None, None]
+        disk = (
+            ((yy[None] - pr) ** 2 + (xx[None] - pc) ** 2)
+            <= (radius**2).astype(jnp.int32)
+        ).astype(jnp.float32)[..., None]
+        carve = jnp.where(
+            emit[:, None, None, None], m,
+            jnp.where(miss[:, None, None, None], disk, 0.0),
+        )
+        remaining = remaining * (1.0 - carve)
+
+        misses = jnp.where(
+            emit, 0, carry["misses"] + miss.astype(jnp.int32)
         )
         rem_px = jnp.sum(remaining.reshape(b, -1), axis=1)
-        done = carry["done"] | (rem_px <= min_pixels) | (active & ~valid_inst)
+        done = (
+            carry["done"]
+            | (rem_px <= min_pixels)
+            | (misses >= cfg.max_extract_misses)
+        )
 
         return {
             "remaining": remaining,
             "idmap": idmap,
             "count": count,
+            "misses": misses,
             "done": done,
             "skips_t": tuple(skips_t),
         }, None
@@ -541,6 +566,7 @@ class InstanceDecoder(nn.Module):
             "idmap": jnp.zeros((b, h, w), jnp.int32),
             "count": jnp.zeros((b,), jnp.int32),
             "done": fg_px <= min_pixels,
+            "misses": jnp.zeros((b,), jnp.int32),
             "skips_t": tuple(
                 jnp.zeros(s, skip_dtype)
                 for s in skip_transform_shapes(
