@@ -170,3 +170,14 @@ def test_fit_loop_writes_logs_and_checkpoints(tmp_path):
     assert lines[0] == "Epoch,Cost" and len(lines) == 3
     ckpts = [f for f in files if f.startswith("model_")]
     assert ckpts, files
+
+
+def test_averager():
+    from tpuseg.runtime.metrics_log import Averager
+
+    a = Averager()
+    a.add(np.array([1.0, 2.0, 3.0]))
+    a.add(4.0)
+    np.testing.assert_allclose(a.val(), 10.0 / 4.0)
+    a.reset()
+    assert a.val() == 0.0

@@ -17,6 +17,28 @@ import time
 from typing import Dict, Optional
 
 
+class Averager:
+    """Streaming mean over array values (reference ``averager``,
+    model.py:502-527)."""
+
+    def __init__(self):
+        self.reset()
+
+    def add(self, v) -> None:
+        import numpy as np
+
+        arr = np.asarray(v)
+        self.n_count += arr.size
+        self.total += float(arr.sum())
+
+    def reset(self) -> None:
+        self.n_count = 0
+        self.total = 0.0
+
+    def val(self) -> float:
+        return self.total / self.n_count if self.n_count else 0.0
+
+
 class MetricLogger:
     def __init__(self, run_dir: str):
         self.run_dir = run_dir
