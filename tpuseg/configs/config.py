@@ -34,8 +34,12 @@ class DataConfig:
     # (reference model_settings.py:12-13). Kept for the normalizer capability;
     # the live pipeline uses the 21-channel standardizer instead
     # (lib/utils.py:82-83).
-    mean: Tuple[float, float, float] = (0.519, 0.371, 0.324)
-    std: Tuple[float, float, float] = (0.223, 0.166, 0.142)
+    mean: Tuple[float, float, float] = (
+        0.521697844321, 0.389775426267, 0.206216114391
+    )
+    std: Tuple[float, float, float] = (
+        0.212398291819, 0.151755427041, 0.113022107204
+    )
     class_weights: Optional[Tuple[float, ...]] = None
     # Augmentation switches (reference training_settings.py:37-46).
     hflip: bool = True
@@ -65,6 +69,16 @@ class DecoderConfig:
     d_inner: int = 40
     d_h: int = 20
     n_head: int = 2
+    # The reference constructs its live SpatialAttentionLayer as
+    # ``SpatialAttentionLayer(config.d_model, config.d_h)`` (attenet2.py:29)
+    # — d_h lands in the ``reduction`` positional slot, so the reference's
+    # effective bottleneck is ``d_model // 20 == 1`` channel.  That is an
+    # accident of positional args, not intent; the live tpuseg default
+    # keeps the round-1 12-channel bottleneck (reduction=2), a strictly
+    # more expressive layer at negligible cost.  Parity tooling
+    # (tests/test_forward_parity.py, tools/convert_reference_weights.py)
+    # pins sp_reduction=20 explicitly to mirror the reference bit-for-bit.
+    sp_reduction: int = 2
     num_layers: int = 1  # config.py:20 decoer_num_layers
     focal_gamma: float = 2.0  # config.py:16
     ce_weight: float = 10.0  # config.py:18
@@ -85,6 +99,11 @@ class DecoderConfig:
     # Intended value of the reference's entropy clamp (attenet2.py:77 typo).
     entropy_clamp_lo: float = 1e-7
     entropy_clamp_hi: float = 1.0 - 1e-7
+    # Reference AlphaEntropy scales by ``(config.H / 256) ** 0.5`` when fed
+    # a flattened alpha (attenet2.py:71-77: the 2-D branch hardcodes
+    # h=256).  1.0 at the native 256 config; parity runs at other
+    # resolutions set ``(H / 256) ** 0.5`` to mirror it.
+    entropy_normal: float = 1.0
     # Instance-extraction inference (new working path; the reference's
     # instance inference crashes, see SURVEY.md quirk #2): stop emitting
     # instances once the remaining foreground fraction drops below this.
@@ -92,9 +111,24 @@ class DecoderConfig:
     # consecutive degenerate glimpses tolerated before a sample's
     # extraction stops (each miss suppresses a small disk and retries)
     max_extract_misses: int = 3
+    # Glimpses decoded per extraction round, folded into the batch dim of
+    # one pyramid decode.  The pyramid decode is latency-bound at small
+    # batch (measured on v5e: 1.42 ms/sample at B=32 vs 0.43 ms/sample at
+    # B=128), so decoding G peaks per round cuts the sequential depth of
+    # the extraction scan by ~G at near-constant round cost.
+    extract_group: int = 4
     # Use the Pallas fused masked-softmax kernel for the per-instance
     # hard-attention distributions (tpuseg/kernels/masked_softmax.py).
     use_pallas_softmax: bool = False
+    # Parity-experiment knobs (tools/parity_run.py): replace the stochastic
+    # glimpse (multinomial sample + shuffled instance order) with argmax +
+    # identity order so a reference run patched the same way is
+    # step-for-step comparable.  Never on in production.
+    deterministic_glimpse: bool = False
+    # Expose the per-glimpse REINFORCE terms (loss1/loss2/entropy, the
+    # quantities the reference prints per iteration, attenet2.py:289) in
+    # the loss dict — parity diagnostics only.
+    debug_loss_terms: bool = False
     # Rematerialise the pyramid decode in the training glimpse loop:
     # trades ~30% recompute for several-fold less activation memory
     # (jax.checkpoint), enabling larger batches at 256^2.
@@ -111,6 +145,14 @@ class ModelConfig:
     use_instance_segmentation: bool = True  # model_settings.py:17
     use_coordinates: bool = False  # model_settings.py:18
     use_wae: bool = False  # training_settings.py:54
+    # Learned instance-count head (the reference docstring promises one,
+    # reseg.py:21-22,40, but hardcodes 16 at model.py:496): trained with CE
+    # against the GT count and used as the per-sample extraction budget.
+    use_count_head: bool = True
+    # Count classes 0..count_classes-1.  Fixed (NOT tied to
+    # data.max_n_objects) so checkpoints transfer across resolutions and
+    # instance caps, like the conv weights do.
+    count_classes: int = 33
     # Discriminative-loss capability knobs (model_settings.py:23-25).
     delta_var: float = 0.5
     delta_dist: float = 1.5
@@ -131,6 +173,8 @@ class TrainConfig:
     clip_grad_norm: float = 10.0  # training_settings.py:34
     criterion: str = "Multi"  # training_settings.py:48
     optimize_bg: bool = False
+    # weight of the count-head CE term (new capability, no reference analogue)
+    lambda_count: float = 1.0
     train_cnn: bool = True
     seed: int = 23  # training_settings.py:53
     n_workers: int = 2

@@ -67,6 +67,29 @@ class _InsStem(nn.Module):
         return z + y
 
 
+class _CountHead(nn.Module):
+    """Learned instance-count head on the UNet bottleneck.
+
+    The reference's ReSeg docstring promises a counting output
+    (reseg.py:21-22,40) but the implementation hardcodes
+    ``n_objects_prediction = 16`` (model.py:496); this head is the real
+    thing: global-pooled bottleneck -> MLP -> (max_n+1)-way count logits,
+    trained with CE against the GT count and used at inference as the
+    per-sample extraction budget.
+    """
+
+    n_classes: int
+    hidden: int = 128
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x5):
+        y = jnp.mean(x5, axis=(1, 2))
+        y = nn.Dense(self.hidden, dtype=self.dtype)(y)
+        y = nn.relu(y)
+        return nn.Dense(self.n_classes, dtype=jnp.float32)(y)
+
+
 class ReSeg(nn.Module):
     cfg: Config
     dtype: Optional[jnp.dtype] = None
@@ -120,28 +143,56 @@ class ReSeg(nn.Module):
         x_enc = _InsStem(cfg.decoder.d_model, dtype=self.dtype, name="ins_stem")(
             x_dec, train
         )
+        count_logits = None
+        if cfg.model.use_count_head:
+            count_logits = _CountHead(
+                n_classes=cfg.model.count_classes, dtype=self.dtype,
+                name="count_head",
+            )(skips[-1])
 
         if mode == "loss":
-            if train:
-                # GT semantic argmax as decoder mask (reseg.py:117-118)
-                sem_mask = jnp.argmax(sem_onehot, axis=-1)[..., None]
-            else:
-                sem_mask = jnp.argmax(sem_logits, axis=-1)[..., None]
+            # GT semantic argmax as the decoder mask whenever labels are
+            # given — the reference's 4-arg branch applies to BOTH train
+            # and validation minibatches (reseg.py:117-120); the predicted
+            # mask is only used on the label-free inference path.
+            sem_mask = jnp.argmax(sem_onehot, axis=-1)[..., None]
             sem_mask = sem_mask.astype(jnp.float32)
             losses = decoder(
                 x_enc, sem_mask, ins_target, n_objects, skips, train=train,
                 mode="loss",
             )
+            if count_logits is not None:
+                losses["count_logits"] = count_logits
             return sem_logits, sem_mask, losses
+
+        if mode == "embed":
+            # the embedding/discriminative lineage (prediction.py:52-85):
+            # per-pixel instance embeddings for KMeans clustering, plus the
+            # count-head estimate standing in for the reference's
+            # hardcoded ``n_objects=16`` (model.py:496)
+            sem_probs = jax.nn.softmax(sem_logits, axis=-1)
+            n_est = (
+                jnp.argmax(count_logits, axis=-1).astype(jnp.int32)
+                if count_logits is not None
+                else jnp.full((images.shape[0],), 16, jnp.int32)
+            )
+            return sem_probs, x_enc, n_est
 
         if mode == "infer":
             sem_probs = jax.nn.softmax(sem_logits, axis=-1)
             sem_mask = jnp.argmax(sem_logits, axis=-1)[..., None].astype(
                 jnp.float32
             )
+            count_budget = None
+            if count_logits is not None:
+                # the head's count caps the extraction budget per sample
+                count_budget = jnp.clip(
+                    jnp.argmax(count_logits, axis=-1).astype(jnp.int32),
+                    1, max_instances or cfg.data.max_n_objects,
+                )
             idmap, counts = decoder(
                 x_enc, sem_mask, feats=skips, mode="extract",
-                max_instances=max_instances,
+                max_instances=max_instances, count_budget=count_budget,
             )
             return sem_probs, idmap, counts
 

@@ -32,6 +32,7 @@ class PlateauState:
     num_bad: jnp.ndarray
     factor: float = flax.struct.field(pytree_node=False, default=0.5)
     patience: int = flax.struct.field(pytree_node=False, default=25)
+    threshold: float = flax.struct.field(pytree_node=False, default=1e-4)
 
     @classmethod
     def create(cls, lr: float, factor: float, patience: int) -> "PlateauState":
@@ -45,13 +46,16 @@ class PlateauState:
 
     def step(self, metric) -> "PlateauState":
         metric = jnp.asarray(metric, jnp.float32)
-        improved = metric < self.best
+        # torch ReduceLROnPlateau default threshold=1e-4, threshold_mode
+        # 'rel': improvement means metric < best * (1 - 1e-4), and `best`
+        # only moves on improvement.
+        improved = metric < self.best * (1.0 - self.threshold)
         num_bad = jnp.where(improved, 0, self.num_bad + 1)
         drop = num_bad > self.patience
         lr = jnp.where(drop, self.lr * self.factor, self.lr)
         num_bad = jnp.where(drop, 0, num_bad)
         return self.replace(
-            lr=lr, best=jnp.minimum(self.best, metric), num_bad=num_bad
+            lr=lr, best=jnp.where(improved, metric, self.best), num_bad=num_bad
         )
 
 
@@ -117,6 +121,16 @@ def make_optimizer(cfg: Config) -> optax.GradientTransformation:
     chain = [opt]
     if t.clip_grad_norm:
         chain.insert(0, optax.clip_by_global_norm(t.clip_grad_norm))
+    if not t.train_cnn:
+        # Freeze the UNet backbone ('base' subtree) the way the reference's
+        # requires_grad=False does (model.py:199-201): the frozen subtree
+        # receives NO update at all — including weight decay, which plain
+        # grad-zeroing would still apply.
+        def _frozen_mask(params):
+            return {k: jax.tree.map(lambda _: k == "base", v)
+                    for k, v in params.items()}
+
+        chain.append(optax.masked(optax.set_to_zero(), _frozen_mask))
     return optax.chain(*chain)
 
 

@@ -37,9 +37,11 @@ def prepare_images(images: jnp.ndarray) -> jnp.ndarray:
 
 
 def total_cost(
-    cfg: Config, sem_logits, sem_onehot, dec_losses, train: bool
+    cfg: Config, sem_logits, sem_onehot, dec_losses, train: bool,
+    n_objects=None,
 ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
-    """ins cost + CE + Dice per criterion 'Multi' (model.py:245-269)."""
+    """ins cost + CE + Dice per criterion 'Multi' (model.py:245-269),
+    plus the count-head CE (new capability, no reference analogue)."""
     metrics: Dict[str, jnp.ndarray] = {}
     cost = 0.0
     if dec_losses is not None:
@@ -48,6 +50,22 @@ def total_cost(
         metrics["criterion"] = dec_losses["criterion"]
         metrics["ins_ce_loss"] = dec_losses["ins_ce_loss"]
         metrics["ins_dice_loss"] = dec_losses["ins_dice_loss"]
+        if "count_logits" in dec_losses and n_objects is not None:
+            count_labels = jnp.clip(
+                n_objects.astype(jnp.int32), 0,
+                dec_losses["count_logits"].shape[-1] - 1,
+            )
+            count_ce = softmax_cross_entropy(
+                dec_losses["count_logits"], count_labels
+            )
+            cost = cost + cfg.train.lambda_count * count_ce
+            metrics["count_loss"] = count_ce
+            metrics["count_err"] = jnp.mean(
+                jnp.abs(
+                    jnp.argmax(dec_losses["count_logits"], axis=-1)
+                    - n_objects
+                ).astype(jnp.float32)
+            )
     crit = cfg.train.criterion
     n_classes = cfg.data.n_classes
     if crit in ("CE", "Multi"):
@@ -101,7 +119,8 @@ def make_train_step(cfg: Config, model, train_cnn: bool = True):
             mutable=["batch_stats", "decoder_state"],
         )
         cost, metrics = total_cost(
-            cfg, sem_logits, batch["sem_onehot"], dec_losses, train=True
+            cfg, sem_logits, batch["sem_onehot"], dec_losses, train=True,
+            n_objects=batch["n_objects"],
         )
         return cost, (metrics, mut)
 
@@ -141,7 +160,8 @@ def make_eval_step(cfg: Config, model):
             rngs={"glimpse": rng},
         )
         _, metrics = total_cost(
-            cfg, sem_logits, batch["sem_onehot"], dec_losses, train=False
+            cfg, sem_logits, batch["sem_onehot"], dec_losses, train=False,
+            n_objects=batch["n_objects"],
         )
         return metrics
 
