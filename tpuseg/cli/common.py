@@ -40,6 +40,59 @@ def init_variables(cfg: Config, model: ReSeg, seed: int = 0):
     )
 
 
+def _merge_restore(init_tree, stored_tree, path=""):
+    """Reference-style non-strict state-dict merge (model.py:62-79):
+    overlay every stored leaf whose path AND shape match the freshly
+    initialised tree; keep the init value (and warn) otherwise.  Makes
+    old checkpoints load into models that grew new heads or changed a
+    submodule's width."""
+    if not isinstance(init_tree, dict):
+        stored = jnp.asarray(stored_tree)
+        init = jnp.asarray(init_tree)
+        if stored.shape != init.shape:
+            print(
+                f"  [load] shape mismatch at {path}: "
+                f"ckpt {stored.shape} vs model {init.shape} — keeping init"
+            )
+            return init
+        return stored.astype(init.dtype)
+    out = {}
+    for k, v in init_tree.items():
+        if isinstance(stored_tree, dict) and k in stored_tree:
+            out[k] = _merge_restore(v, stored_tree[k], f"{path}/{k}")
+        else:
+            print(f"  [load] missing in ckpt: {path}/{k} — keeping init")
+            out[k] = v
+    return out
+
+
+def adapt_cfg_to_checkpoint(cfg: Config, model_path: str) -> Config:
+    """Disable heads the checkpoint never trained.
+
+    A fresh-init count head emits a constant arbitrary count that would cap
+    extraction (the budget is ``argmax(count_logits)``), so inference must
+    only trust it when the checkpoint actually contains it."""
+    if not (
+        cfg.model.use_count_head
+        and model_path
+        and model_path.endswith(".msgpack")
+        and os.path.isfile(model_path)
+    ):
+        return cfg
+    import dataclasses
+
+    import flax.serialization
+
+    with open(model_path, "rb") as f:
+        stored = flax.serialization.msgpack_restore(f.read())
+    if "count_head" not in stored.get("params", {}):
+        print("  [load] checkpoint has no count_head — head disabled")
+        return dataclasses.replace(
+            cfg, model=dataclasses.replace(cfg.model, use_count_head=False)
+        )
+    return cfg
+
+
 def load_variables(cfg: Config, model: ReSeg, model_path: str = "", seed: int = 0):
     """Init and (optionally, non-strictly) restore from an orbax ckpt dir —
     the reference's merge-style load (model.py:62-79)."""
@@ -49,8 +102,8 @@ def load_variables(cfg: Config, model: ReSeg, model_path: str = "", seed: int = 
 
         print(f"Loading model from {model_path}")
         with open(model_path, "rb") as f:
-            restored = flax.serialization.from_bytes(dict(variables), f.read())
-        return restored
+            stored = flax.serialization.msgpack_restore(f.read())
+        return _merge_restore(dict(variables), stored)
     if model_path:
         from tpuseg.runtime.checkpoint import restore_params_only
 

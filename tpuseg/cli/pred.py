@@ -14,7 +14,12 @@ import os
 import numpy as np
 from PIL import Image
 
-from tpuseg.cli.common import build_model, colorize_instances, load_variables
+from tpuseg.cli.common import (
+    adapt_cfg_to_checkpoint,
+    build_model,
+    colorize_instances,
+    load_variables,
+)
 from tpuseg.runtime.predict import Predictor
 from tpuseg.settings import get_config
 
@@ -34,6 +39,7 @@ def main(argv=None):
     assert opt.dataset in ["CVPPP"]
     os.makedirs(opt.output, exist_ok=True)
     cfg = get_config(opt.dataset)
+    cfg = adapt_cfg_to_checkpoint(cfg, opt.model)
     model = build_model(cfg)
     variables = load_variables(cfg, model, opt.model)
     predictor = Predictor(cfg, model, variables, batch_size=1)

@@ -15,7 +15,12 @@ import os
 import numpy as np
 from PIL import Image
 
-from tpuseg.cli.common import build_model, colorize_instances, load_variables
+from tpuseg.cli.common import (
+    adapt_cfg_to_checkpoint,
+    build_model,
+    colorize_instances,
+    load_variables,
+)
 from tpuseg.runtime.predict import Predictor
 from tpuseg.settings import get_config
 
@@ -34,6 +39,13 @@ def main(argv=None):
                         help="override the output directory")
     parser.add_argument("--f32", action="store_true",
                         help="disable the bfloat16 inference compute path")
+    parser.add_argument("--ndevices", type=int, default=1,
+                        help="data-parallel devices for batched inference "
+                             "(0 = all available)")
+    parser.add_argument("--bucketed", action="store_true",
+                        help="mixed-resolution bucketed inference: no fixed "
+                             "256x256 resize; images run at native "
+                             "resolution rounded up to shape buckets")
     opt = parser.parse_args(argv)
 
     assert opt.dataset in ["CVPPP"]
@@ -58,16 +70,27 @@ def main(argv=None):
     import jax.numpy as jnp
 
     cfg = get_config(opt.dataset)
-    model = build_model(cfg, dtype=None if opt.f32 else jnp.bfloat16)
     usable = os.path.isdir(model_path) or model_path.endswith(".msgpack")
+    cfg = adapt_cfg_to_checkpoint(cfg, model_path if usable else "")
+    model = build_model(cfg, dtype=None if opt.f32 else jnp.bfloat16)
     variables = load_variables(cfg, model, model_path if usable else "")
-    predictor = Predictor(cfg, model, variables, batch_size=opt.batchsize)
+    import jax
+
+    n_dev = opt.ndevices if opt.ndevices else len(jax.devices())
+    predictor = Predictor(
+        cfg, model, variables, batch_size=opt.batchsize,
+        use_mesh=n_dev > 1, n_devices=n_dev if n_dev > 1 else None,
+    )
 
     image_names = [
         os.path.splitext(os.path.basename(p))[0] for p in images_list
     ]
+    predict = (
+        predictor.predict_paths_bucketed if opt.bucketed
+        else predictor.predict_paths
+    )
     for name, res in zip(
-        image_names, predictor.predict_paths([str(p) for p in images_list])
+        image_names, predict([str(p) for p in images_list])
     ):
         out_dir = os.path.join(output_path, name)
         os.makedirs(out_dir, exist_ok=True)

@@ -55,6 +55,9 @@ def main(argv=None):
                         help="packed-record prefix (or LMDB dir) for training")
     parser.add_argument("--val_data", default="")
     parser.add_argument("--runs_dir", default="models")
+    parser.add_argument("--ndevices", type=int, default=1,
+                        help="data-parallel devices (0 = all available; "
+                             "batch is sharded over a 1-D mesh)")
     opt = parser.parse_args(argv)
 
     cfg = get_config(opt.dataset)
@@ -104,10 +107,18 @@ def main(argv=None):
         state = restore_checkpoint(opt.model, state)
         print(f"resumed from {opt.model} at step {int(state.step)}")
 
+    mesh = None
+    n_dev = opt.ndevices if opt.ndevices else len(jax.devices())
+    if n_dev > 1:
+        from tpuseg.parallel import make_mesh
+
+        mesh = make_mesh(n_dev)
+        print(f"data-parallel mesh over {n_dev} devices: {mesh.shape}")
+
     fit(
         cfg, model, state, train_batches, val_batches, run_dir,
         n_epochs=opt.nepochs, rng=jax.random.PRNGKey(cfg.train.seed),
-        log_every=10 if opt.debug else 0,
+        log_every=10 if opt.debug else 0, mesh=mesh,
     )
 
 

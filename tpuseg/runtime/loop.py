@@ -16,6 +16,7 @@ import jax
 import numpy as np
 
 from tpuseg.configs import Config
+from tpuseg.parallel import pad_to_multiple, replicate, shard_batch
 from tpuseg.runtime.checkpoint import save_checkpoint
 from tpuseg.runtime.metrics_log import MetricLogger
 from tpuseg.runtime.state import TrainState
@@ -42,14 +43,33 @@ def fit(
     n_epochs: Optional[int] = None,
     rng=None,
     log_every: int = 0,
+    mesh=None,
 ) -> TrainState:
     """train_batches/val_batches: callables epoch -> iterable of batch dicts
-    (host numpy or device arrays, fixed shapes)."""
+    (host numpy or device arrays, fixed shapes).
+
+    With ``mesh`` (a 1-D ``jax.sharding.Mesh``), runs data-parallel: the
+    state is replicated, each batch is sharded on its leading axis, and
+    XLA's automatic SPMD partitioner emits the ICI collectives for the
+    gradient/metric means (SURVEY.md §5.8) — the same jitted step functions
+    serve both the single-chip and the multi-chip path.
+    """
     n_epochs = n_epochs or cfg.train.n_epochs
     rng = rng if rng is not None else jax.random.PRNGKey(cfg.train.seed)
     train_step = make_train_step(cfg, model, train_cnn=cfg.train.train_cnn)
     eval_step = make_eval_step(cfg, model)
     logger = MetricLogger(run_dir)
+
+    n_dev = int(mesh.devices.size) if mesh is not None else 1
+    if mesh is not None:
+        state = replicate(state, mesh)
+
+    def _prepare(batch):
+        if mesh is None:
+            return batch
+        batch = {k: pad_to_multiple(np.asarray(v), n_dev)[0]
+                 for k, v in batch.items()}
+        return shard_batch(batch, mesh)
     best_val = np.inf
     val_key = "ins_dice_loss" if cfg.model.use_instance_segmentation else (
         "dice_cost" if cfg.train.criterion in ("Dice", "Multi") else "ce_cost"
@@ -60,7 +80,7 @@ def fit(
         train_metrics = []
         for batch in train_batches(epoch):
             rng, sub = jax.random.split(rng)
-            state, m = train_step(state, batch, sub)
+            state, m = train_step(state, _prepare(batch), sub)
             train_metrics.append(m)
             if log_every and len(train_metrics) % log_every == 0:
                 print(
@@ -73,7 +93,7 @@ def fit(
         val_metrics = []
         for batch in val_batches(epoch):
             rng, sub = jax.random.split(rng)
-            val_metrics.append(eval_step(state, batch, sub))
+            val_metrics.append(eval_step(state, _prepare(batch), sub))
         agg_val = _aggregate(val_metrics)
         logger.log("val", epoch, agg_val, cost_key=val_key)
 

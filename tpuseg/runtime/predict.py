@@ -37,16 +37,20 @@ class Predictor:
         variables,
         batch_size: int = 8,
         use_mesh: bool = False,
+        n_devices: Optional[int] = None,
         max_instances: Optional[int] = None,
     ):
         self.cfg = cfg
         self.model = model
         self.variables = variables
         self.batch_size = batch_size
-        self.mesh = make_mesh() if use_mesh else None
+        self.mesh = make_mesh(n_devices) if use_mesh else None
         if self.mesh is not None:
+            from tpuseg.parallel import replicate
+
             n = self.mesh.devices.size
             self.batch_size = max(batch_size // n, 1) * n
+            self.variables = replicate(variables, self.mesh)
         self.max_instances = max_instances
 
         @jax.jit
@@ -138,6 +142,129 @@ class Predictor:
                     ).astype(np.uint8),
                     "n_objects": int(counts[i]),
                 }
+
+    # ---------------- mixed-resolution bucketed inference ----------------
+
+    @staticmethod
+    def _bucket_shape(h: int, w: int, multiple: int = 64,
+                      cap: int = 1024) -> Tuple[int, int]:
+        """Round a native resolution up to the bucket grid: multiples of
+        ``multiple`` (the UNet downsamples 16x; 64 keeps the bucket count
+        small so at most a handful of programs compile), capped so a
+        single huge input cannot OOM the chip."""
+        bh = min(int(-(-h // multiple)) * multiple, cap)
+        bw = min(int(-(-w // multiple)) * multiple, cap)
+        return max(bh, multiple), max(bw, multiple)
+
+    def predict_paths_bucketed(
+        self, paths: Sequence[str], multiple: int = 64, cap: int = 1024
+    ) -> Iterator[Dict]:
+        """BASELINE.md stretch config: mixed-resolution inference without
+        the fixed 256x256 resize.  Images are grouped into shape buckets
+        (native resolution rounded up to ``multiple``), zero-padded onto
+        the bucket canvas, and each bucket runs through one jitted program
+        at its own static shape — XLA caches one executable per bucket.
+        Outputs are cropped back to the native resolution, so masks are
+        PIXEL-ALIGNED with the input (the fixed-res path nearest-upsamples
+        instead, reference prediction.py:47-50).
+
+        Yields results in the original ``paths`` order."""
+        items = []
+        for i, p in enumerate(paths):
+            img = np.array(Image.open(p).convert("RGB"))
+            h, w = img.shape[:2]
+            items.append((i, p, img, (h, w), self._bucket_shape(h, w,
+                                                                multiple,
+                                                                cap)))
+        buckets: Dict[Tuple[int, int], List] = {}
+        for it in items:
+            buckets.setdefault(it[4], []).append(it)
+
+        results: List[Optional[Dict]] = [None] * len(items)
+        for (bh, bw), group in buckets.items():
+            bs = self.batch_size  # fixed batch dim: one executable/bucket
+            for start in range(0, len(group), bs):
+                chunk = group[start : start + bs]
+                canvas = np.zeros((bs, bh, bw, 3), np.uint8)
+                for j, (_, _, img, (h, w), _) in enumerate(chunk):
+                    sh, sw = min(h, bh), min(w, bw)
+                    canvas[j, :sh, :sw] = img[:sh, :sw]
+                _, fg, idmap, counts = self.predict_batch_arrays(
+                    canvas, with_probs=False
+                )
+                fg = np.asarray(fg)
+                idmap = np.asarray(idmap)
+                counts = np.asarray(counts)
+                for j, (i, p, img, (h, w), _) in enumerate(chunk):
+                    fg_j = fg[j, : min(h, bh), : min(w, bw)]
+                    id_j = idmap[j, : min(h, bh), : min(w, bw)]
+                    if fg_j.shape != (h, w):  # capped bucket: upsample back
+                        fg_j = self._upsample_nearest(fg_j, (h, w))
+                        id_j = self._upsample_nearest(
+                            id_j.astype(np.int32), (h, w)
+                        ).astype(np.uint8)
+                    results[i] = {
+                        "path": p,
+                        "image": img,
+                        "fg_mask": fg_j,
+                        "ins_mask": id_j,
+                        "n_objects": int(counts[j]),
+                    }
+        for r in results:
+            yield r
+
+    def predict_attend(self, path: str) -> Dict:
+        """Legacy ``Prediction.predict_attend`` (prediction.py:157-182):
+        the attention decoder's own masks, no clustering — in tpuseg that
+        IS the production extraction path, exposed single-image."""
+        return next(iter(self.predict_paths([path])))
+
+    def predict_cluster(self, path: str, seed: int = 0) -> Dict:
+        """Legacy ``Prediction.predict``/``predict_wae`` clustering path
+        (prediction.py:87-155): per-pixel instance embeddings restricted
+        to predicted-foreground pixels, KMeans'd into ``n`` clusters — on
+        device (runtime/cluster.py), not sklearn.  ``n`` comes from the
+        count head when present (the reference hardcodes 16 at
+        model.py:496).  Optionally augments embeddings with coordinate
+        planes (prediction.py:28-30,61-62)."""
+        from tpuseg.runtime.cluster import kmeans_cluster
+
+        raw, resized, size = self._load(path)
+
+        @functools.lru_cache(maxsize=1)
+        def _embed_fn():
+            @jax.jit
+            def f(variables, images_u8):
+                x = image_ex_standardize(images_u8)
+                return self.model.apply(variables, x, mode="embed")
+
+            return f
+
+        sem_probs, emb, n_est = _embed_fn()(
+            self.variables, jnp.asarray(resized[None])
+        )
+        fg = jnp.argmax(sem_probs[0], axis=-1)
+        emb0 = emb[0].astype(jnp.float32)
+        if self.cfg.model.use_coordinates:
+            from tpuseg.nn.coord_conv import add_coordinates
+
+            emb0 = add_coordinates(emb0[None], with_r=True)[0]
+        n = jnp.clip(n_est[0], 1, self.cfg.data.max_n_objects)
+        ids, _ = kmeans_cluster(
+            emb0, fg, n, jax.random.PRNGKey(seed),
+            max_clusters=self.cfg.data.max_n_objects,
+        )
+        return {
+            "path": path,
+            "image": raw,
+            "fg_mask": self._upsample_nearest(
+                np.asarray(fg).astype(np.uint8), size
+            ),
+            "ins_mask": self._upsample_nearest(
+                np.asarray(ids).astype(np.int32), size
+            ).astype(np.uint8),
+            "n_objects": int(n),
+        }
 
     def predict_semantic(self, path: str) -> Dict:
         """Semantic-only single-image path (reference pred.py __main__,
