@@ -1,0 +1,325 @@
+"""Loss-curve parity experiment: reference ``Model.fit`` vs tpuseg training
+on identical inputs and identical initial weights (BASELINE.md config #4).
+
+Protocol (the injected-RNG-trace parity defined in SURVEY.md §7):
+  * one shared synthetic batch set, built once as numpy, fed to both sides
+    (NCHW torch / NHWC jax) — augmentation parity is tested separately
+    (tests/test_colorspace.py, tests/test_data.py), so the experiment
+    isolates the TRAINING step: forward, losses, backward, Adadelta,
+    plateau scheduler, epoch loop;
+  * the reference's two stochastic decisions are pinned exactly the way
+    ``DecoderConfig.deterministic_glimpse`` pins ours: ``sample`` takes the
+    argmax glimpse (its own eval-mode rule, attenet2.py:326-331) and
+    ``getRandomIdx`` keeps identity order (attenet2.py:349-355);
+  * dropout off on both sides (drop_rate=0) — dropout masks cannot be
+    replayed across frameworks;
+  * reference runs its REAL ``Model.fit`` (model.py:358-464) on CPU torch
+    via tools/reference_shim; tpuseg runs its real jitted train/eval steps.
+
+Outputs PARITY.md at the repo root: per-step training curves for every
+loss term, per-epoch validation curves, and quantified deltas.
+
+Usage:  python tools/parity_run.py [--epochs 2] [--steps 4] [--res 64]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+
+import numpy as np
+
+H = W = 64
+B = 2  # reference batch_size (training_settings.py:26, config.py:4)
+N = 4  # instance slots
+
+
+def build_batches(n_batches: int, seed: int = 23):
+    """Shared batch list. Returns (torch_tuples, jax_dicts)."""
+    import torch
+
+    rng = np.random.RandomState(seed)
+    torch_batches, jax_batches = [], []
+    for i in range(n_batches):
+        x = rng.rand(B, 21, H, W).astype(np.float32) * 2 - 1
+        sem = np.zeros((B, 2, H, W), np.float32)
+        sem[:, 0] = 1
+        ins = np.zeros((B, N, H, W), np.float32)
+        # two rectangular instances at slightly varying positions
+        for b in range(B):
+            for j, (r0, r1, c0, c1) in enumerate(
+                [(8, 24, 8, 28), (34, 54, 30, 52)]
+            ):
+                r0, r1 = r0 + b + i, r1 + b + i
+                ins[b, j, r0:r1, c0:c1] = 1
+                sem[b, 1, r0:r1, c0:c1] = 1
+                sem[b, 0, r0:r1, c0:c1] = 0
+        n = np.full((B,), 2, np.int64)
+        torch_batches.append((
+            torch.from_numpy(x),
+            torch.from_numpy(sem).long(),
+            torch.from_numpy(ins).long(),
+            torch.from_numpy(n),
+        ))
+        jax_batches.append({
+            "images": np.ascontiguousarray(x.transpose(0, 2, 3, 1)),
+            "sem_onehot": np.ascontiguousarray(sem.transpose(0, 2, 3, 1)),
+            "ins_masks": np.ascontiguousarray(ins.transpose(0, 2, 3, 1)),
+            "n_objects": n.astype(np.int32),
+        })
+    return torch_batches, jax_batches
+
+
+class _ListLoader:
+    """Stands in for the reference's DataLoader: len() + py2-style
+    iterator with .next() (model.py:207)."""
+
+    def __init__(self, batches):
+        self.batches = batches
+
+    def __len__(self):
+        return len(self.batches)
+
+    def __iter__(self):
+        it = iter(self.batches)
+
+        class _It:
+            def next(self):
+                return next(it)
+
+            def __next__(self):
+                return next(it)
+
+        return _It()
+
+
+def _pin_reference_determinism(ref):
+    """argmax glimpse + identity instance order (the reference-side mirror
+    of DecoderConfig.deterministic_glimpse)."""
+    att = ref.attenet2
+    original_sample = att.DecoderLayer.sample
+
+    # sample(self, alpha_t, isRandom, alpha_g=None, training=True)
+    # (attenet2.py:304): training=False takes the argmax branch (:321)
+    def det_sample(self, alpha_t, isRandom, alpha_g=None, training=True):
+        return original_sample(self, alpha_t, False, alpha_g, False)
+
+    att.DecoderLayer.sample = det_sample
+
+    # getRandomIdx(self, n_ins) (attenet2.py:349): identity order
+    def det_idx(self, n_ins):
+        return [list(range(int(num))) for num in n_ins]
+
+    att.DecoderLayer.getRandomIdx = det_idx
+    assert att.DecoderLayer.sample is det_sample
+
+
+def run_reference(torch_batches, epochs, run_dir):
+    import torch
+
+    from tools.reference_shim import load_reference
+
+    ref = load_reference()
+    ref.config.H = H
+    ref.config.W = W
+    ref.config.drop_rate = 0.0
+    ref.config.pickle_path = run_dir + "/"
+    _pin_reference_determinism(ref)
+
+    torch.manual_seed(23)
+    np.random.seed(23)
+    tmodel = ref.ReSeg(2, True, pretrained=False, use_coordinates=False,
+                       use_wae=False, usegpu=False)
+
+    m = ref.Model(
+        "CVPPP", "ReSeg", 2, N, wae_opt=None,
+        use_instance_segmentation=True, use_wae=False, use_coords=False,
+        load_model_path="", usegpu=False,
+    )
+    m.model = tmodel  # the seeded instance both sides share
+
+    # record per-minibatch metrics through the real __minibatch
+    step_log = []
+    orig_mb = m._Model__minibatch
+
+    def recording_mb(it, clip, crit, train_cnn=True, mode="training",
+                     debug=False):
+        out = orig_mb(it, clip, crit, train_cnn=train_cnn, mode=mode,
+                      debug=debug)
+        step_log.append(
+            (mode, {k: float(v) for k, v in out.items()})
+        )
+        return out
+
+    m._Model__minibatch = recording_mb
+
+    os.makedirs(run_dir, exist_ok=True)
+    m.fit(
+        "Multi", 0.5, 1.5, 2,            # criterion, delta_var/dist, norm
+        1.0, 0.001, 10.0,                # lr, weight_decay, clip
+        0.5, 25, False, "Adadelta",      # drop factor/patience, opt_bg, opt
+        True, epochs, None,              # train_cnn, n_epochs, class_weights
+        _ListLoader(torch_batches), _ListLoader(torch_batches[:1]),
+        run_dir, False,
+    )
+    return step_log, tmodel
+
+
+def run_tpuseg(tmodel, jax_batches, epochs):
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    if "axon" in str(jax.config.jax_platforms or ""):
+        jax.config.update("jax_platforms", "cpu")
+
+    from tools.convert_reference_weights import convert
+    from tpuseg.cli.common import build_model, init_variables
+    from tpuseg.configs import cvppp_config
+    from tpuseg.runtime.state import create_train_state
+    from tpuseg.runtime.train import make_eval_step, make_train_step
+
+    cfg = cvppp_config()
+    cfg = dataclasses.replace(
+        cfg,
+        data=dataclasses.replace(
+            cfg.data, image_height=H, image_width=W, max_n_objects=N
+        ),
+        decoder=dataclasses.replace(
+            cfg.decoder, drop_rate=0.0, sp_reduction=20,
+            deterministic_glimpse=True,
+            # mirror the reference AlphaEntropy's hardcoded-256 normal
+            # factor at this resolution (attenet2.py:71-77)
+            entropy_normal=(H / 256.0) ** 0.5,
+        ),
+        model=dataclasses.replace(cfg.model, use_count_head=False),
+    )
+    model = build_model(cfg)
+    template = init_variables(cfg, model, seed=0)
+    variables = convert(tmodel, dict(template))
+    state = create_train_state(cfg, variables)
+
+    train_step = make_train_step(cfg, model)
+    eval_step = make_eval_step(cfg, model)
+    key = jax.random.PRNGKey(23)
+
+    step_log = []
+    for epoch in range(epochs):
+        for batch in jax_batches:
+            key, sub = jax.random.split(key)
+            state, metr = train_step(
+                state, {k: jnp.asarray(v) for k, v in batch.items()}, sub
+            )
+            step_log.append(
+                ("training", {k: float(v) for k, v in metr.items()})
+            )
+        # one val batch, like the reference's __test over test_loader
+        key, sub = jax.random.split(key)
+        vm = eval_step(
+            state,
+            {k: jnp.asarray(v) for k, v in jax_batches[0].items()}, sub,
+        )
+        step_log.append(("test", {k: float(v) for k, v in vm.items()}))
+        state = state.replace(
+            plateau=state.plateau.step(vm["ins_dice_loss"])
+        )
+    return step_log
+
+
+# reference metric key -> tpuseg metric key
+KEYMAP = [
+    ("INS Cost", "ins_cost"),
+    ("Criterion", "criterion"),
+    ("ins_ce_loss", "ins_ce_loss"),
+    ("ins_dice_loss", "ins_dice_loss"),
+    ("CE Cost", "ce_cost"),
+    ("Dice Cost", "dice_cost"),
+]
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--epochs", type=int, default=2)
+    ap.add_argument("--steps", type=int, default=4,
+                    help="minibatches per epoch")
+    ap.add_argument("--out", default=os.path.join(_REPO, "PARITY.md"))
+    args = ap.parse_args()
+
+    torch_batches, jax_batches = build_batches(args.steps)
+    run_dir = "/tmp/parity_ref"
+    os.makedirs(run_dir, exist_ok=True)
+
+    print("=== reference Model.fit (CPU torch) ===", flush=True)
+    ref_log, tmodel = run_reference(torch_batches, args.epochs, run_dir)
+    print("=== tpuseg train/eval steps (CPU jax) ===", flush=True)
+    tpu_log = run_tpuseg(tmodel, jax_batches, args.epochs)
+
+    ref_train = [m for mode, m in ref_log if mode == "training"]
+    tpu_train = [m for mode, m in tpu_log if mode == "training"]
+    ref_val = [m for mode, m in ref_log if mode == "test"]
+    tpu_val = [m for mode, m in tpu_log if mode == "test"]
+    n = min(len(ref_train), len(tpu_train))
+
+    lines = [
+        "# PARITY — loss-curve parity vs the reference (BASELINE.md "
+        "config #4)",
+        "",
+        f"Generated by `tools/parity_run.py --epochs {args.epochs} "
+        f"--steps {args.steps}`: the reference's real `Model.fit` "
+        "(model.py:358-464; Adadelta lr=1 wd=1e-3 clip=10, criterion "
+        "'Multi', seed 23, batch 2) driven on CPU torch via "
+        "tools/reference_shim, vs tpuseg's jitted train/eval steps — "
+        "identical initial weights (tools/convert_reference_weights), "
+        "identical batches, glimpse decisions pinned on both sides "
+        "(argmax + identity order), dropout off.",
+        "",
+        "## Per-step training losses",
+        "",
+    ]
+    worst = {}
+    for rk, tk in KEYMAP:
+        lines.append(f"### {rk}")
+        lines.append("")
+        lines.append("| step | reference | tpuseg | abs diff | rel |")
+        lines.append("|---|---|---|---|---|")
+        for i in range(n):
+            r = ref_train[i].get(rk, float("nan"))
+            t = tpu_train[i].get(tk, float("nan"))
+            d = abs(r - t)
+            rel = d / max(abs(r), 1e-8)
+            worst[rk] = max(worst.get(rk, 0.0), rel)
+            lines.append(
+                f"| {i} | {r:.6f} | {t:.6f} | {d:.2e} | {rel:.2e} |"
+            )
+        lines.append("")
+    lines.append("## Per-epoch validation losses")
+    lines.append("")
+    lines.append("| epoch | term | reference | tpuseg | rel |")
+    lines.append("|---|---|---|---|---|")
+    for e in range(min(len(ref_val), len(tpu_val))):
+        for rk, tk in KEYMAP:
+            r = ref_val[e].get(rk, float("nan"))
+            t = tpu_val[e].get(tk, float("nan"))
+            rel = abs(r - t) / max(abs(r), 1e-8)
+            lines.append(f"| {e} | {rk} | {r:.6f} | {t:.6f} | {rel:.2e} |")
+    lines.append("")
+    lines.append("## Worst relative deltas (training steps)")
+    lines.append("")
+    for rk, v in worst.items():
+        lines.append(f"- {rk}: {v:.3e}")
+    lines.append("")
+    with open(args.out, "w") as f:
+        f.write("\n".join(lines))
+    print(f"wrote {args.out}")
+    for rk, v in worst.items():
+        print(f"  worst rel delta {rk}: {v:.3e}")
+
+
+if __name__ == "__main__":
+    main()

@@ -5,6 +5,7 @@ from tpuseg.evalm.metrics import (
     calc_sbd,
     dice_matrix,
     symmetric_best_dice_batch,
+    fg_dice_batch,
 )
 
 __all__ = [
@@ -14,4 +15,5 @@ __all__ = [
     "calc_sbd",
     "dice_matrix",
     "symmetric_best_dice_batch",
+    "fg_dice_batch",
 ]

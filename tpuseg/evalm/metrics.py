@@ -96,3 +96,14 @@ def symmetric_best_dice_batch(
     """Batched SBD over stacks of id maps: (B, H, W) each -> (B,)."""
     fn = jax.vmap(lambda g, p: _sbd_jit(g, p, max_ids))
     return fn(jnp.asarray(ins_gt), jnp.asarray(ins_pred))
+
+
+@jax.jit
+def fg_dice_batch(fg_gt: jnp.ndarray, fg_pred: jnp.ndarray) -> jnp.ndarray:
+    """Batched binary-mask Dice: (B, H, W) each -> (B,)
+    (``evaluate.py:22-28`` per image, one fused reduction here)."""
+    g = jnp.asarray(fg_gt, jnp.float32).reshape(fg_gt.shape[0], -1)
+    p = jnp.asarray(fg_pred, jnp.float32).reshape(fg_pred.shape[0], -1)
+    nom = 2.0 * jnp.sum(g * p, axis=1)
+    denom = jnp.sum(g, axis=1) + jnp.sum(p, axis=1)
+    return nom / denom
