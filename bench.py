@@ -38,24 +38,25 @@ def _synthetic_images(n, h, w, seed=0):
 
 
 def _build(dtype=None):
-    from tpuseg.cli.common import build_model, init_variables
+    from tpuseg.cli.common import (
+        adapt_cfg_to_checkpoint,
+        build_model,
+        load_variables,
+    )
     from tpuseg.configs import cvppp_config
 
     cfg = cvppp_config()
-    model = build_model(cfg, dtype=dtype)
-    variables = init_variables(cfg, model, seed=0)
-    # trained synthetic weights (tools/train_synthetic_e2e.py) give the
-    # extraction a realistic instance-count workload; conv weights are
-    # resolution-independent, so the 128-trained model runs at 256.
+    # trained synthetic weights give the extraction a realistic
+    # instance-count workload; conv weights are resolution-independent,
+    # so a lower-resolution-trained model still runs at 256.
     ckpt = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "assets",
         "synthetic_ckpt.msgpack",
     )
-    if os.path.isfile(ckpt):
-        import flax.serialization
-
-        with open(ckpt, "rb") as f:
-            variables = flax.serialization.from_bytes(dict(variables), f.read())
+    ckpt = ckpt if os.path.isfile(ckpt) else ""
+    cfg = adapt_cfg_to_checkpoint(cfg, ckpt)
+    model = build_model(cfg, dtype=dtype)
+    variables = load_variables(cfg, model, ckpt, seed=0)
     return cfg, model, variables
 
 

@@ -134,3 +134,42 @@ def test_random_resized_crop():
     mask = Image.fromarray(np.zeros((48, 64), np.uint8))
     out2, params2 = random_resized_crop(mask, 32, 32, rng, params=params)
     assert params2 == params and out2.size == (32, 32)
+
+
+def test_predict_cluster_and_attend_variants(tmp_path):
+    """Legacy Prediction.predict_wae / predict_attend equivalents
+    (prediction.py:87-182): embedding+KMeans path and raw-decoder path."""
+    import dataclasses
+
+    import jax.numpy as jnp
+    from PIL import Image
+
+    from tpuseg.cli.common import build_model, init_variables
+    from tpuseg.configs import cvppp_config
+    from tpuseg.runtime.predict import Predictor
+
+    cfg = cvppp_config()
+    cfg = dataclasses.replace(
+        cfg,
+        data=dataclasses.replace(
+            cfg.data, image_height=32, image_width=32, max_n_objects=4
+        ),
+    )
+    model = build_model(cfg)
+    variables = init_variables(cfg, model, seed=0)
+    p = Predictor(cfg, model, variables, batch_size=1)
+
+    img = (np.random.RandomState(0).rand(40, 48, 3) * 255).astype(np.uint8)
+    path = str(tmp_path / "x.png")
+    Image.fromarray(img).save(path)
+
+    res = p.predict_cluster(path)
+    assert res["ins_mask"].shape == (40, 48)
+    assert res["fg_mask"].shape == (40, 48)
+    assert 1 <= res["n_objects"] <= 4
+    # cluster ids only on predicted foreground
+    assert set(np.unique(res["ins_mask"][res["fg_mask"] == 0])) <= {0}
+
+    res2 = p.predict_attend(path)
+    assert res2["ins_mask"].shape == (40, 48)
+    assert res2["n_objects"] >= 0

@@ -185,3 +185,26 @@ def test_kmeans_cluster_separates_blobs():
     assert len(np.unique(ids[8:])) == 1
     assert ids[0, 0] != ids[15, 15]
     assert float(inertia) < 20.0
+
+
+def test_coordconvnet_retrofit_equivalence():
+    """CoordConvNet weight surgery (coord_conv.py:174-260): zero coord
+    weights make the retrofitted net exactly reproduce the original."""
+    from tpuseg.nn.coord_conv import CoordConvNet, retrofit_coordconv_params
+
+    x = jnp.asarray(np.random.RandomState(0).rand(1, 16, 16, 3), jnp.float32)
+    plain = VGG16(n_layers=6, use_coordinates=False)
+    params = plain.init(jax.random.PRNGKey(0), x)["params"]
+    y_plain = plain.apply({"params": params}, x)
+
+    retro = CoordConvNet(n_layers=6, with_r=True)
+    retro_params = retrofit_coordconv_params(params, with_r=True)
+    # shape-compat check against a fresh init
+    fresh = retro.init(jax.random.PRNGKey(1), x)["params"]
+    for k in fresh:
+        assert fresh[k]["kernel"].shape == retro_params[k]["kernel"].shape
+    outs = retro.apply({"params": retro_params}, x)
+    assert len(outs) == 6  # every layer's output, reference-style
+    np.testing.assert_allclose(
+        np.asarray(y_plain), np.asarray(outs[-1]), rtol=1e-5, atol=1e-5
+    )

@@ -53,21 +53,28 @@ def evaluate(cfg, model, variables, ds, n=8, max_ids=32):
     return sbd, fg, np.asarray(counts)
 
 
-def main(epochs=200, res=128, n_train=32, n_val=8, batch_size=8, eval_every=40):
+def main(epochs=200, res=128, n_train=32, n_val=8, batch_size=8,
+         eval_every=40, lr=1.0, max_leaves=8, out="", install_bar=0.0):
+    """out: where to save the trained weights (default: a /tmp path).
+    install_bar: if > 0 and the final val SBD clears it, install the
+    weights into assets/synthetic_ckpt.msgpack; the flagship asset is
+    never overwritten by a run that fails its own quality bar."""
     cfg = cvppp_config()
     cfg = dataclasses.replace(
         cfg,
         data=dataclasses.replace(
             cfg.data, image_height=res, image_width=res, max_n_objects=16
         ),
-        train=dataclasses.replace(cfg.train, batch_size=batch_size),
+        train=dataclasses.replace(
+            cfg.train, batch_size=batch_size, learning_rate=lr
+        ),
     )
     root = "/tmp/tpuseg_e2e"
     os.makedirs(root, exist_ok=True)
     write_synthetic_records(f"{root}/train", n_train, seed=1, height=res, width=res,
-                            min_leaves=3, max_leaves=8)
+                            min_leaves=3, max_leaves=max_leaves)
     write_synthetic_records(f"{root}/val", n_val, seed=2, height=res, width=res,
-                            min_leaves=3, max_leaves=8)
+                            min_leaves=3, max_leaves=max_leaves)
     train_ds = SegRecordDataset(f"{root}/train")
     val_ds = SegRecordDataset(f"{root}/val")
 
@@ -80,8 +87,11 @@ def main(epochs=200, res=128, n_train=32, n_val=8, batch_size=8, eval_every=40):
     if os.path.isfile(ckpt_path) and os.environ.get("TPUSEG_RESUME", "0") == "1":
         import flax.serialization
 
+        from tpuseg.cli.common import _merge_restore
+
         with open(ckpt_path, "rb") as f:
-            variables = flax.serialization.from_bytes(dict(variables), f.read())
+            stored = flax.serialization.msgpack_restore(f.read())
+        variables = _merge_restore(dict(variables), stored)
         print(f"resumed weights from {ckpt_path}", flush=True)
     state = create_train_state(cfg, variables)
 
@@ -120,14 +130,11 @@ def main(epochs=200, res=128, n_train=32, n_val=8, batch_size=8, eval_every=40):
     print(f"SBD {sbd0:.4f} -> {sbd1:.4f} ; FG dice {fg0:.4f} -> {fg1:.4f}",
           flush=True)
 
-    # persist the trained weights: bench.py uses them so its extraction
-    # workload has realistic instance counts
+    # persist the trained weights OUTSIDE assets/ first; the committed
+    # flagship asset is only replaced when the run clears install_bar
     import flax.serialization
 
-    out = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), os.pardir, "assets",
-        "synthetic_ckpt.msgpack",
-    )
+    out = out or "/tmp/tpuseg_e2e/trained_ckpt.msgpack"
     os.makedirs(os.path.dirname(out), exist_ok=True)
     payload = {
         "params": state.params,
@@ -138,9 +145,37 @@ def main(epochs=200, res=128, n_train=32, n_val=8, batch_size=8, eval_every=40):
         f.write(flax.serialization.to_bytes(payload))
     print(f"saved weights to {out}", flush=True)
 
+    if install_bar and sbd1 >= install_bar:
+        import shutil
+
+        asset = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), os.pardir, "assets",
+            "synthetic_ckpt.msgpack",
+        )
+        shutil.copyfile(out, asset)
+        print(f"installed into {asset} (SBD {sbd1:.4f} >= {install_bar})",
+              flush=True)
+    elif install_bar:
+        print(f"NOT installed: SBD {sbd1:.4f} < bar {install_bar}", flush=True)
+
     assert fg1 > fg0 + 0.1, "fg dice did not improve enough"
     print("SYNTHETIC E2E TRAINING CHECK PASSED", flush=True)
 
 
 if __name__ == "__main__":
-    main()
+    import argparse
+
+    p = argparse.ArgumentParser()
+    p.add_argument("--epochs", type=int, default=200)
+    p.add_argument("--res", type=int, default=128)
+    p.add_argument("--n_train", type=int, default=32)
+    p.add_argument("--n_val", type=int, default=8)
+    p.add_argument("--batch_size", type=int, default=8)
+    p.add_argument("--eval_every", type=int, default=40)
+    p.add_argument("--lr", type=float, default=1.0)
+    p.add_argument("--max_leaves", type=int, default=8)
+    p.add_argument("--out", default="")
+    p.add_argument("--install_bar", type=float, default=0.0)
+    a = p.parse_args()
+    main(a.epochs, a.res, a.n_train, a.n_val, a.batch_size, a.eval_every,
+         a.lr, a.max_leaves, a.out, a.install_bar)

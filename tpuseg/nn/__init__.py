@@ -21,7 +21,13 @@ from tpuseg.nn.aspp import (
     DilatedMobileNetV2,
     MaskedAsppEncoder,
 )
-from tpuseg.nn.coord_conv import CoordConv, CoordConvTranspose, add_coordinates
+from tpuseg.nn.coord_conv import (
+    CoordConv,
+    CoordConvNet,
+    CoordConvTranspose,
+    add_coordinates,
+    retrofit_coordconv_params,
+)
 from tpuseg.nn.conv_gru import ConvGRUCell
 from tpuseg.nn.hourglass import RecurrentHourglass
 from tpuseg.nn.dcgan_decoder import DcganDecoder
@@ -45,6 +51,8 @@ __all__ = [
     "CoordConv",
     "CoordConvTranspose",
     "add_coordinates",
+    "CoordConvNet",
+    "retrofit_coordconv_params",
     "ConvGRUCell",
     "RecurrentHourglass",
     "DcganDecoder",
