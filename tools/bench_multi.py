@@ -1,0 +1,152 @@
+"""Multi-metric bench (VERDICT r1 weak #6): the driver keeps reading
+bench.py's single JSON line; this sidecar records the fuller picture in
+BENCH_EXTRA.json:
+
+  * pred_list inference throughput (median of N runs, the bench.py metric)
+  * train step/s at the production 256^2 B=8 config (post-compile)
+  * evaluate-CLI quality of the committed asset on the hard synthetic
+    split (SBD / |DiC| / FG dice), via the real CLI chain
+
+Usage: python tools/bench_multi.py [--skip-quality]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import tempfile
+import time
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+
+import numpy as np
+
+
+def measure_train_steps(n_steps=10, res=256, batch=8):
+    import jax
+    import jax.numpy as jnp
+
+    from tpuseg.cli.common import build_model, init_variables
+    from tpuseg.configs import cvppp_config
+    from tpuseg.data.synthetic import make_scene
+    from tpuseg.runtime import create_train_state, make_train_step
+    import dataclasses
+
+    cfg = cvppp_config()
+    cfg = dataclasses.replace(
+        cfg,
+        data=dataclasses.replace(
+            cfg.data, image_height=res, image_width=res, max_n_objects=16
+        ),
+        train=dataclasses.replace(cfg.train, batch_size=batch),
+    )
+    model = build_model(cfg)
+    variables = init_variables(cfg, model, seed=0)
+    state = create_train_state(cfg, variables)
+    step = make_train_step(cfg, model)
+
+    rng = np.random.default_rng(0)
+    imgs, sems, inss, ns = [], [], [], []
+    for _ in range(batch):
+        rgb, sem, ins, n = make_scene(rng, res, res)
+        pad = np.zeros((res, res, 16), np.float32)
+        pad[..., : ins.shape[-1]] = ins[..., :16]
+        imgs.append(rgb)
+        sems.append(np.eye(2, dtype=np.float32)[sem])
+        inss.append(pad)
+        ns.append(min(n, 16))
+    batch_d = {
+        "images": jnp.asarray(np.stack(imgs)),
+        "sem_onehot": jnp.asarray(np.stack(sems)),
+        "ins_masks": jnp.asarray(np.stack(inss)),
+        "n_objects": jnp.asarray(np.array(ns, np.int32)),
+    }
+    key = jax.random.PRNGKey(0)
+    state, m = step(state, batch_d, key)  # compile
+    _ = np.asarray(m["cost"])
+    t0 = time.perf_counter()
+    for i in range(n_steps):
+        key, sub = jax.random.split(key)
+        state, m = step(state, batch_d, sub)
+    _ = np.asarray(m["cost"])  # sync through the tunnel
+    dt = time.perf_counter() - t0
+    return n_steps / dt, float(m["cost"])
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--skip-quality", action="store_true")
+    ap.add_argument("--repeat", type=int, default=3)
+    args = ap.parse_args()
+    os.chdir(_REPO)
+
+    out = {}
+
+    # 1. inference throughput, median of N
+    import bench
+
+    cfg, model, variables = bench._build(dtype=None)
+    import jax.numpy as jnp  # noqa: F401
+
+    cfg, model_bf, vars_bf = bench._build(dtype=jnp.bfloat16)
+    images = bench._synthetic_images(
+        bench.N_IMAGES, cfg.data.image_height, cfg.data.image_width
+    )
+    vals = [
+        bench.measure_tpu(cfg, model_bf, vars_bf, images)
+        for _ in range(args.repeat)
+    ]
+    out["pred_list_images_per_sec"] = {
+        "runs": [round(v, 2) for v in vals],
+        "median": round(sorted(vals)[len(vals) // 2], 2),
+    }
+
+    # 2. train step/s
+    sps, cost = measure_train_steps()
+    out["train_steps_per_sec_256_b8"] = round(sps, 3)
+    out["train_images_per_sec_256_b8"] = round(sps * 8, 2)
+    out["train_cost_sanity"] = round(cost, 2)
+
+    # 3. quality through the CLI chain on the hard split
+    if not args.skip_quality:
+        from tpuseg.data.synthetic import write_synthetic_eval_tree
+
+        tmp = tempfile.mkdtemp(prefix="tpuseg_benchq_")
+        lst = write_synthetic_eval_tree(tmp, 32, seed=77, hard=True,
+                                        max_leaves=14)
+        meta = os.path.join(tmp, "data", "metadata", "CVPPP")
+        img_dir = os.path.join(
+            tmp, "data", "raw", "CVPPP", "CVPPP2017_LSC_training",
+            "training", "A1",
+        )
+        out_dir = os.path.join(tmp, "outputs")
+        subprocess.run(
+            [sys.executable, "pred_list.py", "--lst", lst, "--model",
+             "assets/synthetic_ckpt.msgpack", "--dataset", "CVPPP",
+             "--batchsize", "16", "--output", out_dir],
+            check=True, capture_output=True, text=True,
+        )
+        ev = subprocess.run(
+            [sys.executable, "evaluate.py", "--pred_dir", out_dir,
+             "--dataset", "CVPPP", "--metadata", meta, "--img_dir", img_dir],
+            check=True, capture_output=True, text=True,
+        ).stdout
+        for line in ev.strip().splitlines():
+            if ":" in line:
+                k, v = line.split(":", 1)
+                out["quality_hard32_" + k.strip().replace(" ", "_")] = (
+                    round(float(v), 4)
+                )
+
+    with open("BENCH_EXTRA.json", "w") as f:
+        json.dump(out, f, indent=2)
+    print(json.dumps(out, indent=2))
+
+
+if __name__ == "__main__":
+    main()

@@ -25,12 +25,20 @@ def make_scene(
     width: int = 256,
     min_leaves: int = 3,
     max_leaves: int = 12,
+    hard: bool = False,
 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray, int]:
     """Returns (rgb uint8 (H,W,3), semantic (H,W) {0,1}, instances
-    (H,W,N) {0,1}, n)."""
+    (H,W,N) {0,1}, n).
+
+    ``hard=True`` is the round-2 difficulty preset: off-center plants,
+    wider leaf-size variance, wavy leaf boundaries, and tighter packing
+    (more occlusion) — the eval hardening VERDICT r1 asked for."""
     n = int(rng.integers(min_leaves, max_leaves + 1))
     yy, xx = np.mgrid[0:height, 0:width]
     cy, cx = height / 2.0, width / 2.0
+    if hard:
+        cy += rng.uniform(-0.15, 0.15) * height
+        cx += rng.uniform(-0.15, 0.15) * width
     img = np.zeros((height, width, 3), np.float32)
     # soil-ish background with noise
     img[..., 0] = 60 + 20 * rng.random((height, width))
@@ -39,19 +47,30 @@ def make_scene(
     instances = []
     for i in range(n):
         ang = rng.random() * 2 * np.pi
-        dist = rng.uniform(0.08, 0.32) * min(height, width)
+        dmax = 0.26 if hard else 0.32  # tighter packing -> more occlusion
+        dist = rng.uniform(0.08, dmax) * min(height, width)
         ecy = cy + np.sin(ang) * dist
         ecx = cx + np.cos(ang) * dist
-        a = rng.uniform(0.06, 0.16) * min(height, width)  # semi-major
+        lo, hi = (0.04, 0.20) if hard else (0.06, 0.16)
+        a = rng.uniform(lo, hi) * min(height, width)  # semi-major
         b = a * rng.uniform(0.35, 0.7)  # semi-minor
         # orient the leaf along the radial direction
         ca, sa = np.cos(ang), np.sin(ang)
         u = (xx - ecx) * ca + (yy - ecy) * sa
         v = -(xx - ecx) * sa + (yy - ecy) * ca
-        mask = ((u / a) ** 2 + (v / b) ** 2) <= 1.0
+        r2 = (u / a) ** 2 + (v / b) ** 2
+        if hard:
+            # wavy leaf boundary: radius modulated around the contour
+            theta = np.arctan2(v / max(b, 1e-6), u / max(a, 1e-6))
+            wav = 1.0 + rng.uniform(0.05, 0.18) * np.sin(
+                rng.integers(3, 7) * theta + rng.random() * 2 * np.pi
+            )
+            mask = r2 <= wav
+        else:
+            mask = r2 <= 1.0
         instances.append(mask.astype(np.uint8))
         g = rng.uniform(110, 200)
-        shade = 1.0 - 0.5 * np.clip(((u / a) ** 2 + (v / b) ** 2), 0, 1)
+        shade = 1.0 - 0.5 * np.clip(r2, 0, 1)
         img[mask, 0] = (30 + 25 * rng.random()) * shade[mask]
         img[mask, 1] = g * (0.6 + 0.4 * shade[mask])
         img[mask, 2] = (25 + 30 * rng.random()) * shade[mask]
