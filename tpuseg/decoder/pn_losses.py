@@ -4,6 +4,13 @@ Reference: ``PNloss``/``PNloss2``/``PNloss3``
 (``code/lib/archs/modules/attenet2.py:182-237``) — experimental attention
 point-supervision terms, computed but disabled in the live loss
 (attenet2.py:280-286 commented).  Provided as tested pure functions.
+
+``PNloss2`` (attenet2.py:211-224) is deliberately NOT ported: it calls
+``self.pnloss`` which is never defined anywhere in the reference, so the
+function raises ``AttributeError`` on any invocation — dead-by-crash, not
+merely dormant.  ``PNloss``'s internal ``pnloss2`` term is likewise
+multiplied by ``0`` at attenet2.py:199 and is omitted here for the same
+reason.
 """
 
 from __future__ import annotations
