@@ -79,3 +79,15 @@ def test_batched_sbd():
     got = np.asarray(symmetric_best_dice_batch(gts, prs, max_ids=8))
     want = np.array([_np_calc_sbd(g, p) for g, p in zip(gts, prs)])
     np.testing.assert_allclose(got, want, rtol=1e-5)
+
+
+def test_fg_dice_batch_matches_scalar():
+    from tpuseg.evalm import fg_dice_batch
+
+    rng = np.random.RandomState(0)
+    g = rng.rand(4, 16, 16) > 0.5
+    p = rng.rand(4, 16, 16) > 0.5
+    batched = np.asarray(fg_dice_batch(g, p))
+    for i in range(4):
+        ref = 2.0 * (g[i] & p[i]).sum() / (g[i].sum() + p[i].sum())
+        assert abs(batched[i] - ref) < 1e-6
