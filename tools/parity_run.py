@@ -158,6 +158,12 @@ def run_reference(torch_batches, epochs, run_dir):
 
     m._Model__minibatch = recording_mb
 
+    # fit() trains tmodel IN PLACE — snapshot the initial weights so the
+    # tpuseg side converts the same starting point, not the trained one
+    import copy
+
+    init_sd = copy.deepcopy(tmodel.state_dict())
+
     os.makedirs(run_dir, exist_ok=True)
     m.fit(
         "Multi", 0.5, 1.5, 2,            # criterion, delta_var/dist, norm
@@ -167,6 +173,7 @@ def run_reference(torch_batches, epochs, run_dir):
         _ListLoader(torch_batches), _ListLoader(torch_batches[:1]),
         run_dir, False,
     )
+    tmodel.load_state_dict(init_sd)  # restore the shared starting point
     return step_log, tmodel
 
 
