@@ -181,3 +181,55 @@ def test_averager():
     np.testing.assert_allclose(a.val(), 10.0 / 4.0)
     a.reset()
     assert a.val() == 0.0
+
+
+def test_merge_restore_and_cfg_adaptation(tmp_path):
+    """Non-strict checkpoint merge (reference model.py:62-79) + automatic
+    count-head disable for checkpoints that never trained one."""
+    import dataclasses
+
+    import flax.serialization
+
+    from tpuseg.cli.common import (
+        _merge_restore, adapt_cfg_to_checkpoint, build_model, init_variables,
+        load_variables,
+    )
+    from tpuseg.configs import cvppp_config
+
+    cfg = cvppp_config()
+    cfg = dataclasses.replace(
+        cfg,
+        data=dataclasses.replace(
+            cfg.data, image_height=32, image_width=32, max_n_objects=4
+        ),
+        model=dataclasses.replace(cfg.model, n_filters=8),
+    )
+    # a checkpoint saved WITHOUT the count head
+    old_cfg = dataclasses.replace(
+        cfg, model=dataclasses.replace(cfg.model, use_count_head=False)
+    )
+    old_model = build_model(old_cfg)
+    old_vars = init_variables(old_cfg, old_model, seed=1)
+    path = str(tmp_path / "old.msgpack")
+    with open(path, "wb") as f:
+        f.write(flax.serialization.to_bytes(dict(old_vars)))
+
+    # adaptation must disable the head for this checkpoint
+    adapted = adapt_cfg_to_checkpoint(cfg, path)
+    assert not adapted.model.use_count_head
+    assert cfg.model.use_count_head  # original untouched
+
+    # merge-load into the count-head model keeps the head at init and
+    # overlays everything else
+    model = build_model(cfg)
+    restored = load_variables(cfg, model, path, seed=0)
+    assert "count_head" in restored["params"]
+    got = jax.tree_util.tree_leaves(restored["params"]["base"])[0]
+    want = jax.tree_util.tree_leaves(old_vars["params"]["base"])[0]
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+    # shape-mismatched leaf keeps init instead of crashing
+    stored = flax.serialization.msgpack_restore(open(path, "rb").read())
+    bad = jax.tree_util.tree_map(lambda x: x, dict(restored))
+    merged = _merge_restore(bad, stored)
+    assert "count_head" in merged["params"]
