@@ -6,6 +6,11 @@ from tpuseg.parallel.mesh import (
     replicate,
     pad_to_multiple,
 )
+from tpuseg.parallel.spatial import (
+    make_semantic_spatial,
+    shard_spatial,
+    spatial_sharding,
+)
 
 __all__ = [
     "make_mesh",
@@ -14,4 +19,7 @@ __all__ = [
     "shard_batch",
     "replicate",
     "pad_to_multiple",
+    "make_semantic_spatial",
+    "shard_spatial",
+    "spatial_sharding",
 ]
