@@ -90,8 +90,7 @@ def main():
     # 1. inference throughput, median of N
     import bench
 
-    cfg, model, variables = bench._build(dtype=None)
-    import jax.numpy as jnp  # noqa: F401
+    import jax.numpy as jnp
 
     cfg, model_bf, vars_bf = bench._build(dtype=jnp.bfloat16)
     images = bench._synthetic_images(
