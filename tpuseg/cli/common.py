@@ -14,7 +14,7 @@ from tpuseg.models import ReSeg
 
 
 def build_model(cfg: Config, dtype=None) -> ReSeg:
-    return ReSeg(cfg=cfg, dtype=dtype)
+    return ReSeg(cfg=cfg, dtype=dtype, extract_loop=cfg.decoder.extract_loop)
 
 
 def init_variables(cfg: Config, model: ReSeg, seed: int = 0):

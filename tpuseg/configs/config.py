@@ -111,6 +111,15 @@ class DecoderConfig:
     # consecutive degenerate glimpses tolerated before a sample's
     # extraction stops (each miss suppresses a small disk and retries)
     max_extract_misses: int = 3
+    # Inference extraction loop. "scan" (default): fixed-length round
+    # scan. "while": round-granular early exit — measured on this TPU
+    # stack it is NO faster (480 vs 476 ms/batch at B=32) and compiles
+    # 6x slower through the remote tunnel: neither lax.cond-in-scan
+    # (predicated: a 1-active-round scan times the same as 8, probe in
+    # PERF.md) nor lax.while_loop turns data-dependent idleness into
+    # wall-clock savings here, so the static scan with the count-head
+    # budget is the production choice.  "unroll1" = single round.
+    extract_loop: str = "scan"
     # Glimpses decoded per extraction round, folded into the batch dim of
     # one pyramid decode.  The pyramid decode is latency-bound at small
     # batch (measured on v5e: 1.42 ms/sample at B=32 vs 0.43 ms/sample at

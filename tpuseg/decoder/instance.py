@@ -351,100 +351,112 @@ class _GlimpseStep(nn.Module):
         else:
             skips_t = jax.lax.cond(k == 0, _compute_skips, _reuse_skips, None)
 
-        # ---- pick G peaks, suppressing a disk around each before the next
-        flat_score = score.reshape(b, -1)
-        sup = remaining.reshape(b, -1)
-        points, peak_ok = [], []
-        for g in range(G):
-            s_g = jnp.argmax(jnp.where(sup > 0, flat_score, _NEG_INF), axis=1)
-            points.append(s_g)
-            peak_ok.append(
-                jnp.take_along_axis(sup, s_g[:, None], axis=1)[:, 0] > 0
-            )
-            if g + 1 < G:
-                sup = sup * (
-                    1.0 - self._disk(s_g, h, w, radius).reshape(b, -1)
+        def _round(op):
+            """Full round: peak selection + batch-folded decode + resolve.
+            Runs under one ``lax.cond`` so rounds after every sample is
+            done cost nothing at all (not just a skipped decode)."""
+            remaining, idmap, count, misses, done = op
+
+            # -- pick G peaks, suppressing a disk around each before the next
+            flat_score = score.reshape(b, -1)
+            sup = remaining.reshape(b, -1)
+            points, peak_ok = [], []
+            for g in range(G):
+                s_g = jnp.argmax(
+                    jnp.where(sup > 0, flat_score, _NEG_INF), axis=1
                 )
+                points.append(s_g)
+                peak_ok.append(
+                    jnp.take_along_axis(sup, s_g[:, None], axis=1)[:, 0] > 0
+                )
+                if g + 1 < G:
+                    sup = sup * (
+                        1.0 - self._disk(s_g, h, w, radius).reshape(b, -1)
+                    )
 
-        # ---- decode all G glimpses in one pyramid pass (B*G batch)
-        pts = jnp.stack(points, axis=1).reshape(b * G)  # (B*G,)
-
-        def _decode(_):
+            # -- decode all G glimpses in one pyramid pass (B*G batch)
+            pts = jnp.stack(points, axis=1).reshape(b * G)  # (B*G,)
             skips_rep = [jnp.repeat(st, G, axis=0) for st in skips_t]
             sem_rep = jnp.repeat(sem_mask, G, axis=0)
             _, preds_all = bone.decode(
                 pts, skips_rep, sem_rep, gold=None, train=False
             )
             p = preds_all[-1]
-            return (p[..., 1:2] > p[..., 0:1]).astype(jnp.float32).reshape(
-                b, G, h, w, 1
+            m_all = (
+                (p[..., 1:2] > p[..., 0:1]).astype(jnp.float32)
+                .reshape(b, G, h, w, 1)
             )
 
-        def _skip(_):
-            return jnp.zeros((b, G, h, w, 1), jnp.float32)
+            # -- resolve the G masks in peak order (earlier peak wins)
+            for g in range(G):
+                s_g = points[g]
+                avail = (
+                    jnp.logical_not(done) & peak_ok[g] & (count < max_count)
+                )
+                # peak still unclaimed after earlier glimpses this round?
+                still = (
+                    jnp.take_along_axis(
+                        remaining.reshape(b, -1), s_g[:, None], axis=1
+                    )[:, 0]
+                    > 0
+                )
+                live = avail & still
+                # the decoded instance lives inside the remaining
+                # foreground; always include the glimpse pixel so progress
+                # is guaranteed.
+                point_plane = (
+                    jax.lax.broadcasted_iota(jnp.int32, (b, h * w), 1)
+                    == s_g[:, None]
+                ).astype(jnp.float32).reshape(b, h, w, 1)
+                m_g = jnp.clip(
+                    m_all[:, g] * remaining + point_plane * remaining,
+                    0.0, 1.0,
+                )
+                m_px = jnp.sum(m_g.reshape(b, -1), axis=1)
+                valid_inst = m_px >= min_pixels
+                emit = live & valid_inst
+                # a degenerate extraction (mask below the minimum instance
+                # size) means this attention peak found no real instance:
+                # carve a small disk around it and retry elsewhere; stop
+                # the sample after `max_extract_misses` consecutive misses.
+                miss = live & jnp.logical_not(valid_inst)
 
+                inst_id = (count + 1).astype(jnp.int32)
+                take = (
+                    emit[:, None, None, None]
+                    & (m_g > 0)
+                    & (idmap[..., None] == 0)
+                )
+                idmap = jnp.where(
+                    take[..., 0], inst_id[:, None, None], idmap
+                )
+                count = count + emit.astype(jnp.int32)
+
+                disk = self._disk(s_g, h, w, radius)
+                carve = jnp.where(
+                    emit[:, None, None, None], m_g,
+                    jnp.where(miss[:, None, None, None], disk, 0.0),
+                )
+                remaining = remaining * (1.0 - carve)
+                misses = jnp.where(emit, 0, misses + miss.astype(jnp.int32))
+                rem_px = jnp.sum(remaining.reshape(b, -1), axis=1)
+                done = (
+                    done
+                    | (rem_px <= min_pixels)
+                    | (misses >= cfg.max_extract_misses)
+                    | (count >= max_count)
+                )
+            return remaining, idmap, count, misses, done
+
+        op = (
+            remaining, carry["idmap"], carry["count"], carry["misses"],
+            carry["done"],
+        )
         if self.is_initializing():
-            m_all = _decode(None)
+            op = _round(op)
         else:
-            m_all = jax.lax.cond(jnp.any(active), _decode, _skip, None)
-
-        # ---- resolve the G masks in peak order (earlier peak wins)
-        idmap = carry["idmap"]
-        count = carry["count"]
-        misses = carry["misses"]
-        done = carry["done"]
-        for g in range(G):
-            s_g = points[g]
-            avail = jnp.logical_not(done) & peak_ok[g] & (count < max_count)
-            # peak still unclaimed after earlier glimpses this round?
-            still = (
-                jnp.take_along_axis(
-                    remaining.reshape(b, -1), s_g[:, None], axis=1
-                )[:, 0]
-                > 0
-            )
-            live = avail & still
-            # the decoded instance lives inside the remaining foreground;
-            # always include the glimpse pixel so progress is guaranteed.
-            point_plane = (
-                jax.lax.broadcasted_iota(jnp.int32, (b, h * w), 1)
-                == s_g[:, None]
-            ).astype(jnp.float32).reshape(b, h, w, 1)
-            m_g = jnp.clip(
-                m_all[:, g] * remaining + point_plane * remaining, 0.0, 1.0
-            )
-            m_px = jnp.sum(m_g.reshape(b, -1), axis=1)
-            valid_inst = m_px >= min_pixels
-            emit = live & valid_inst
-            # a degenerate extraction (mask below the minimum instance
-            # size) means this attention peak found no real instance:
-            # carve a small disk around it and retry elsewhere; stop the
-            # sample after `max_extract_misses` consecutive misses.
-            miss = live & jnp.logical_not(valid_inst)
-
-            inst_id = (count + 1).astype(jnp.int32)
-            take = (
-                emit[:, None, None, None]
-                & (m_g > 0)
-                & (idmap[..., None] == 0)
-            )
-            idmap = jnp.where(take[..., 0], inst_id[:, None, None], idmap)
-            count = count + emit.astype(jnp.int32)
-
-            disk = self._disk(s_g, h, w, radius)
-            carve = jnp.where(
-                emit[:, None, None, None], m_g,
-                jnp.where(miss[:, None, None, None], disk, 0.0),
-            )
-            remaining = remaining * (1.0 - carve)
-            misses = jnp.where(emit, 0, misses + miss.astype(jnp.int32))
-            rem_px = jnp.sum(remaining.reshape(b, -1), axis=1)
-            done = (
-                done
-                | (rem_px <= min_pixels)
-                | (misses >= cfg.max_extract_misses)
-                | (count >= max_count)
-            )
+            op = jax.lax.cond(jnp.any(active), _round, lambda o: o, op)
+        remaining, idmap, count, misses, done = op
 
         return {
             "remaining": remaining,
@@ -680,19 +692,45 @@ class InstanceDecoder(nn.Module):
             cfg=cfg, train=False, mode="extract", dtype=self.dtype,
             name="glimpse",
         )
-        # NOTE: the round-1 ``extract_loop="while"`` early-exit variant was
-        # retired: nn.while_loop bodies compile pathologically slowly
-        # through the remote TPU tunnel, and the fixed-length round scan
-        # below already skips the pyramid decode (lax.cond) once every
-        # sample is done — the wasted rounds cost microseconds each.
         if self.is_initializing() or self.extract_loop == "unroll1":
-            # create params once; the scan below only reads them
+            # create params once; the loops below only read them
             step = _GlimpseStep(**step_kwargs)
             carry, _ = step(carry0, const, {"k": carry0["k"]})
             return carry["idmap"], carry["count"]
 
-        # fixed-length scan over rounds of G glimpses (done samples carry
-        # through unchanged; wasted rounds skip the decode via lax.cond)
+        if self.extract_loop == "while":
+            # ROUND-granular early exit: measured on this TPU stack,
+            # lax.cond inside a scan executes both branches (a 1-active-
+            # round scan times the same as 8, tools probe), so a fixed
+            # scan pays for every round regardless of `done`.  A while
+            # loop over ROUNDS (not single glimpses — the round-1
+            # per-glimpse variant had ~32 tiny iterations and compiled
+            # pathologically through the remote tunnel) gives the real
+            # data-dependent trip count: extraction stops as soon as every
+            # sample's budget/foreground is exhausted.
+            step = _GlimpseStep(**step_kwargs)
+
+            def cond_fn(mdl, c):
+                return jnp.logical_and(
+                    c["k"] < n_rounds,
+                    jnp.any(jnp.logical_not(c["done"])),
+                )
+
+            def body_fn(mdl, c):
+                k = c["k"]
+                new, _ = mdl(
+                    {key: v for key, v in c.items() if key != "k"},
+                    const, {"k": k},
+                )
+                new["k"] = k + 1
+                return new
+
+            carry = nn.while_loop(cond_fn, body_fn, step, carry0)
+            return carry["idmap"], carry["count"]
+
+        # default: fixed-length scan over rounds of G glimpses (done
+        # samples carry through unchanged; a lax.cond wraps each round but
+        # on this backend it is predicated, not skipped — see "while")
         del carry0["k"]
         xs = {"k": jnp.arange(n_rounds, dtype=jnp.int32)}
         scan = _scanned(
