@@ -38,6 +38,9 @@ def _synthetic_images(n, h, w, seed=0):
 
 
 def _build(dtype=None):
+    import contextlib
+    import sys
+
     from tpuseg.cli.common import (
         adapt_cfg_to_checkpoint,
         build_model,
@@ -54,9 +57,12 @@ def _build(dtype=None):
         "synthetic_ckpt.msgpack",
     )
     ckpt = ckpt if os.path.isfile(ckpt) else ""
-    cfg = adapt_cfg_to_checkpoint(cfg, ckpt)
-    model = build_model(cfg, dtype=dtype)
-    variables = load_variables(cfg, model, ckpt, seed=0)
+    # keep stdout to exactly ONE JSON line (driver contract): loader
+    # chatter goes to stderr
+    with contextlib.redirect_stdout(sys.stderr):
+        cfg = adapt_cfg_to_checkpoint(cfg, ckpt)
+        model = build_model(cfg, dtype=dtype)
+        variables = load_variables(cfg, model, ckpt, seed=0)
     return cfg, model, variables
 
 

@@ -87,31 +87,10 @@ def main():
 
     out = {}
 
-    # 1. inference throughput, median of N
-    import bench
-
-    import jax.numpy as jnp
-
-    cfg, model_bf, vars_bf = bench._build(dtype=jnp.bfloat16)
-    images = bench._synthetic_images(
-        bench.N_IMAGES, cfg.data.image_height, cfg.data.image_width
-    )
-    vals = [
-        bench.measure_tpu(cfg, model_bf, vars_bf, images)
-        for _ in range(args.repeat)
-    ]
-    out["pred_list_images_per_sec"] = {
-        "runs": [round(v, 2) for v in vals],
-        "median": round(sorted(vals)[len(vals) // 2], 2),
-    }
-
-    # 2. train step/s
-    sps, cost = measure_train_steps()
-    out["train_steps_per_sec_256_b8"] = round(sps, 3)
-    out["train_images_per_sec_256_b8"] = round(sps * 8, 2)
-    out["train_cost_sanity"] = round(cost, 2)
-
-    # 3. quality through the CLI chain on the hard split
+    # 1. quality through the CLI chain on the hard split — FIRST, in
+    # subprocesses, BEFORE this process initialises jax: only one process
+    # may hold the TPU tunnel at a time (CLAUDE.md), so the parent must
+    # not have registered yet while pred_list/evaluate run.
     if not args.skip_quality:
         from tpuseg.data.synthetic import write_synthetic_eval_tree
 
@@ -141,6 +120,30 @@ def main():
                 out["quality_hard32_" + k.strip().replace(" ", "_")] = (
                     round(float(v), 4)
                 )
+
+    # 2. inference throughput, median of N
+    import bench
+
+    import jax.numpy as jnp
+
+    cfg, model_bf, vars_bf = bench._build(dtype=jnp.bfloat16)
+    images = bench._synthetic_images(
+        bench.N_IMAGES, cfg.data.image_height, cfg.data.image_width
+    )
+    vals = [
+        bench.measure_tpu(cfg, model_bf, vars_bf, images)
+        for _ in range(args.repeat)
+    ]
+    out["pred_list_images_per_sec"] = {
+        "runs": [round(v, 2) for v in vals],
+        "median": round(sorted(vals)[len(vals) // 2], 2),
+    }
+
+    # 3. train step/s
+    sps, cost = measure_train_steps()
+    out["train_steps_per_sec_256_b8"] = round(sps, 3)
+    out["train_images_per_sec_256_b8"] = round(sps * 8, 2)
+    out["train_cost_sanity"] = round(cost, 2)
 
     with open("BENCH_EXTRA.json", "w") as f:
         json.dump(out, f, indent=2)

@@ -66,26 +66,72 @@ def _merge_restore(init_tree, stored_tree, path=""):
     return out
 
 
+_STORED_CACHE: dict = {}
+
+
+def _read_stored(model_path: str):
+    """Load a checkpoint's raw tree (msgpack file or orbax dir), cached by
+    (path, mtime) so adapt_cfg_to_checkpoint + load_variables parse the
+    ~20 MB blob once per CLI run."""
+    apath = os.path.abspath(model_path)
+    mtime = os.path.getmtime(apath)
+    key = (apath, mtime)
+    if key in _STORED_CACHE:
+        return _STORED_CACHE[key]
+    if model_path.endswith(".msgpack"):
+        import flax.serialization
+
+        with open(apath, "rb") as f:
+            stored = flax.serialization.msgpack_restore(f.read())
+    else:
+        import orbax.checkpoint as ocp
+
+        ckptr = ocp.StandardCheckpointer()
+        try:
+            stored = ckptr.restore(apath)
+        except Exception:
+            # the checkpoint records device shardings from the machine
+            # that wrote it (e.g. a TPU); restore device-agnostically via
+            # an abstract target built from the stored metadata
+            meta = ckptr.metadata(apath).item_metadata
+            tree = meta.tree if hasattr(meta, "tree") else meta
+            sharding = jax.sharding.SingleDeviceSharding(
+                jax.local_devices()[0]
+            )
+            target = jax.tree.map(
+                lambda m: jax.ShapeDtypeStruct(
+                    m.shape, m.dtype, sharding=sharding
+                ),
+                tree,
+            )
+            stored = ckptr.restore(apath, target)
+    _STORED_CACHE.clear()  # keep at most one checkpoint in memory
+    _STORED_CACHE[key] = stored
+    return stored
+
+
 def adapt_cfg_to_checkpoint(cfg: Config, model_path: str) -> Config:
     """Disable heads the checkpoint never trained.
 
     A fresh-init count head emits a constant arbitrary count that would cap
     extraction (the budget is ``argmax(count_logits)``), so inference must
-    only trust it when the checkpoint actually contains it."""
+    only trust it when the checkpoint actually contains it.  Works on
+    .msgpack files and orbax checkpoint dirs."""
     if not (
         cfg.model.use_count_head
         and model_path
-        and model_path.endswith(".msgpack")
-        and os.path.isfile(model_path)
+        and os.path.exists(model_path)
     ):
         return cfg
     import dataclasses
 
-    import flax.serialization
-
-    with open(model_path, "rb") as f:
-        stored = flax.serialization.msgpack_restore(f.read())
-    if "count_head" not in stored.get("params", {}):
+    try:
+        stored = _read_stored(model_path)
+    except Exception as e:
+        print(f"  [load] could not inspect {model_path}: {e!r}")
+        return cfg
+    params = stored.get("params", {}) if isinstance(stored, dict) else {}
+    if "count_head" not in params:
         print("  [load] checkpoint has no count_head — head disabled")
         return dataclasses.replace(
             cfg, model=dataclasses.replace(cfg.model, use_count_head=False)
@@ -94,42 +140,19 @@ def adapt_cfg_to_checkpoint(cfg: Config, model_path: str) -> Config:
 
 
 def load_variables(cfg: Config, model: ReSeg, model_path: str = "", seed: int = 0):
-    """Init and (optionally, non-strictly) restore from an orbax ckpt dir —
-    the reference's merge-style load (model.py:62-79)."""
+    """Init and non-strictly restore from a .msgpack file or an orbax
+    checkpoint dir — the reference's merge-style load (model.py:62-79):
+    stored leaves overlay the init tree where path+shape match; anything
+    else (new heads, changed widths) keeps its fresh init."""
     variables = init_variables(cfg, model, seed)
-    if model_path and model_path.endswith(".msgpack"):
-        import flax.serialization
-
-        print(f"Loading model from {model_path}")
-        with open(model_path, "rb") as f:
-            stored = flax.serialization.msgpack_restore(f.read())
-        return _merge_restore(dict(variables), stored)
-    if model_path:
-        from tpuseg.runtime.checkpoint import restore_params_only
-
-        assert os.path.isdir(model_path) or os.path.isdir(
-            os.path.abspath(model_path)
-        ), f"Model : {model_path} does not exists!"
-        print(f"Loading model from {model_path}")
-        restored = restore_params_only(model_path, variables["params"])
-        variables = dict(variables)
-        variables["params"] = restored
-        # also restore batch stats / decoder state when present
-        try:
-            import orbax.checkpoint as ocp
-
-            full = ocp.StandardCheckpointer().restore(os.path.abspath(model_path))
-            if "batch_stats" in full:
-                variables["batch_stats"] = jax.tree.map(
-                    jnp.asarray, full["batch_stats"]
-                )
-            if "decoder_state" in full:
-                variables["decoder_state"] = jax.tree.map(
-                    jnp.asarray, full["decoder_state"]
-                )
-        except Exception:
-            pass
-    return variables
+    if not model_path:
+        return variables
+    assert os.path.exists(model_path), (
+        f"Model : {model_path} does not exists!"
+    )
+    print(f"Loading model from {model_path}")
+    stored = _read_stored(model_path)
+    return _merge_restore(dict(variables), stored)
 
 
 def spectral_colors(n: int) -> np.ndarray:

@@ -67,6 +67,11 @@ def fit(
     def _prepare(batch):
         if mesh is None:
             return batch
+        # pad short batches by repeating sample 0, duplicates included in
+        # grads/metrics — the reference's own padding semantics
+        # (dataset.py:330-333, preserved quirk; ARCHITECTURE.md).  The
+        # standard loader already pads to the configured batch size, so
+        # this only triggers for batch sizes not divisible by the mesh.
         batch = {k: pad_to_multiple(np.asarray(v), n_dev)[0]
                  for k, v in batch.items()}
         return shard_batch(batch, mesh)

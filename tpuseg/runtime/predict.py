@@ -188,6 +188,14 @@ class Predictor:
                 canvas = np.zeros((bs, bh, bw, 3), np.uint8)
                 for j, (_, _, img, (h, w), _) in enumerate(chunk):
                     sh, sw = min(h, bh), min(w, bw)
+                    if h > bh or w > bw:
+                        # capped bucket: DOWNSCALE onto the canvas (never
+                        # crop — a crop would predict on a corner and
+                        # stretch its masks over the full image)
+                        img = np.array(
+                            Image.fromarray(img).resize((sw, sh),
+                                                        Image.BILINEAR)
+                        )
                     canvas[j, :sh, :sw] = img[:sh, :sw]
                 _, fg, idmap, counts = self.predict_batch_arrays(
                     canvas, with_probs=False
@@ -231,16 +239,15 @@ class Predictor:
 
         raw, resized, size = self._load(path)
 
-        @functools.lru_cache(maxsize=1)
-        def _embed_fn():
+        if not hasattr(self, "_infer_embed"):
             @jax.jit
-            def f(variables, images_u8):
+            def _embed(variables, images_u8):
                 x = image_ex_standardize(images_u8)
                 return self.model.apply(variables, x, mode="embed")
 
-            return f
+            self._infer_embed = _embed
 
-        sem_probs, emb, n_est = _embed_fn()(
+        sem_probs, emb, n_est = self._infer_embed(
             self.variables, jnp.asarray(resized[None])
         )
         fg = jnp.argmax(sem_probs[0], axis=-1)
