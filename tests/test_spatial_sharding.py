@@ -57,3 +57,10 @@ def test_semantic_spatial_matches_single_device():
     np.testing.assert_allclose(
         np.asarray(ref), np.asarray(out), rtol=2e-4, atol=2e-5
     )
+
+    # the compiled module moves HALOS, not whole tensors: XLA's spatial
+    # partitioning emits collective-permutes for the conv overlaps and no
+    # all-gather anywhere (observed: 108 permutes, 0 gathers)
+    hlo = fn.lower(variables, x_sharded).compile().as_text()
+    assert hlo.count("collective-permute") > 0
+    assert hlo.count("all-gather") == 0
