@@ -109,3 +109,31 @@ def test_prefetch_loader_deterministic(tmp_path):
     # a different epoch gives a different stream
     run3 = [b["images"].copy() for b in loader.epoch(1)]
     assert any(not np.array_equal(a, b) for a, b in zip(run1, run3))
+
+
+def test_pred_list_bucketed_flag(tmp_path):
+    """pred_list --bucketed end to end: native-resolution artifacts."""
+    import numpy as np
+    from PIL import Image
+
+    from tpuseg.cli import pred_list
+
+    rng = np.random.RandomState(5)
+    paths = []
+    for i, (h, w) in enumerate([(40, 48), (64, 32)]):
+        p = tmp_path / f"img{i}.png"
+        Image.fromarray((rng.rand(h, w, 3) * 255).astype(np.uint8)).save(p)
+        paths.append(str(p))
+    lst = tmp_path / "list.txt"
+    lst.write_text("\n".join(paths) + "\n")
+    out_dir = tmp_path / "out"
+
+    pred_list.main([
+        "--lst", str(lst), "--model", "none", "--dataset", "CVPPP",
+        "--batchsize", "2", "--output", str(out_dir), "--bucketed", "--f32",
+    ])
+    for i, (h, w) in enumerate([(40, 48), (64, 32)]):
+        d = out_dir / f"img{i}"
+        ins = np.array(Image.open(d / f"img{i}-ins_mask.png"))
+        assert ins.shape == (h, w)  # native resolution, not 256-resized
+        assert (d / f"img{i}-n_objects.npy").is_file()
