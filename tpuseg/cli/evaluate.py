@@ -37,6 +37,9 @@ def _find_metadata(root_hint: str, dataset: str) -> str:
 
 
 def main(argv=None):
+    from tpuseg.utils import enable_compilation_cache
+
+    enable_compilation_cache()  # warm starts: reuse compiled executables
     parser = argparse.ArgumentParser()
     parser.add_argument("--pred_dir", required=True, help="Prediction directory")
     parser.add_argument("--dataset", type=str, required=True,

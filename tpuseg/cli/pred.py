@@ -25,6 +25,9 @@ from tpuseg.settings import get_config
 
 
 def main(argv=None):
+    from tpuseg.utils import enable_compilation_cache
+
+    enable_compilation_cache()  # warm starts: reuse compiled executables
     parser = argparse.ArgumentParser()
     parser.add_argument("--image", required=True, help="Path of the image")
     parser.add_argument("--model", default="", help="Path of the model")

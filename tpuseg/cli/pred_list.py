@@ -26,6 +26,9 @@ from tpuseg.settings import get_config
 
 
 def main(argv=None):
+    from tpuseg.utils import enable_compilation_cache
+
+    enable_compilation_cache()  # warm starts: reuse compiled executables
     parser = argparse.ArgumentParser()
     parser.add_argument("--lst", required=True,
                         help="Text file that contains image paths")

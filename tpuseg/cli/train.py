@@ -41,6 +41,9 @@ def generate_run_id() -> str:
 
 
 def main(argv=None):
+    from tpuseg.utils import enable_compilation_cache
+
+    enable_compilation_cache()  # warm starts: reuse compiled executables
     parser = argparse.ArgumentParser()
     parser.add_argument("--model", default="",
                         help="Path to a checkpoint to resume from")
