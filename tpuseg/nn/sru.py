@@ -225,15 +225,20 @@ class SRUCell(nn.Module):
                 self.make_rng("dropout"), keep, (batch, n_out * bidir)
             ).astype(x.dtype) / keep
 
-        if self.use_impl == "pallas" and not self.bidirectional:
-            from tpuseg.kernels.sru_scan import sru_scan_pallas
+        if self.use_impl == "pallas" and mask_pad is None:
+            # differentiable fused Pallas path, uni or bi (the reference's
+            # SRU_Compute_GPU forward/backward pair,
+            # cuda_functional.py:488-609); mask_pad stays on the scan path.
+            from tpuseg.kernels.sru_scan import sru_scan_fused
 
-            h, c = sru_scan_pallas(
+            nd = n_out * bidir
+            h, c = sru_scan_fused(
                 u, x, weight_c, bias,
-                c0 if c0 is not None else jnp.zeros((batch, n_out), x.dtype),
-                d=n_out, activation=self.activation,
-                has_skip_term=self.has_skip_term, scale_x=self.scale_x,
-                mask_c=mask_c,
+                c0 if c0 is not None else jnp.zeros((batch, nd), x.dtype),
+                mask_c if mask_c is not None
+                else jnp.ones((batch, nd), x.dtype),
+                n_out, self.activation, self.bidirectional,
+                self.has_skip_term, self.scale_x,
             )
             return h, c
         return sru_recurrence(
