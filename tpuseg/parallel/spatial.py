@@ -9,13 +9,21 @@ partitioned by XLA's SPMD pass, which inserts the minimal halo collectives
 scaling-book recipe of "pick a mesh, annotate shardings, let XLA insert
 collectives".
 
-This module provides that annotation layer for the semantic path (UNet +
-SE + semantic head), which is fully convolutional and therefore spatially
-partitionable.  The instance-extraction path is globally sequential (one
-attention argmax per glimpse) and stays data-parallel; for >256² inputs
-the intended production recipe is: spatial-shard the semantic forward,
-then run extraction on the (much cheaper) downsampled feature maps or on
-foreground crops.
+Two annotation layers:
+  * ``make_semantic_spatial`` — the semantic path (UNet + SE + head),
+    fully convolutional, halo-only comms;
+  * ``make_infer_spatial`` — the FULL instance inference (attend +
+    glimpse rounds + pyramid decode) under H-sharding.  The extraction
+    loop's global reductions (the per-glimpse attention argmax, the
+    remaining-foreground sums) become small cross-shard all-reduces of
+    per-shard partials; full-resolution activations never gather — so
+    >256² *instance* inference runs on images larger than one device's
+    memory.  Measured comms on the 8-device mesh at 512×256 (probe +
+    tests/test_spatial_sharding.py): 378 collective-permutes (conv
+    halos), all-gathers limited to (a) per-shard scalar partials
+    (f32/s32 [B,8]) and (b) three low-channel pyramid maps at ≤¼
+    resolution (largest 256 KB vs the ~40 MB 21-channel input
+    activation) where a shard holds too few rows to partition a conv.
 
 Height is the sharded axis (NHWC row-major: rows are contiguous, so halo
 rows are dense transfers).
@@ -64,5 +72,39 @@ def make_semantic_spatial(model, mesh: Mesh, axis_name: str = "data"):
         x = image_ex_standardize(images_u8)
         probs = model.apply(variables, x, mode="semantic")
         return jax.lax.with_sharding_constraint(probs, out_sharding)
+
+    return fn
+
+
+def make_infer_spatial(
+    model, mesh: Mesh, axis_name: str = "data",
+    max_instances: Optional[int] = None,
+):
+    """Returns a jitted ``fn(variables, images_u8)`` running the FULL
+    instance inference (semantic head + attention + iterative extraction
+    + pyramid decode) with the image HEIGHT sharded across the mesh.
+
+    XLA's SPMD pass spatially partitions every conv (halo
+    collective-permutes), keeps the elementwise extraction state
+    (remaining foreground, id map) sharded, and reduces the glimpse
+    argmax / stopping sums across shards — no activation-sized gather
+    anywhere (asserted in tests/test_spatial_sharding.py).
+
+    Returns (sem_probs, idmap, counts): sem_probs and idmap stay
+    H-sharded; counts (B,) is replicated.
+    """
+    from tpuseg.data.colorspace import image_ex_standardize
+
+    out_sharding = spatial_sharding(mesh, axis_name)
+
+    @jax.jit
+    def fn(variables, images_u8):
+        x = image_ex_standardize(images_u8)
+        sem_probs, idmap, counts = model.apply(
+            variables, x, mode="infer", max_instances=max_instances
+        )
+        sem_probs = jax.lax.with_sharding_constraint(sem_probs, out_sharding)
+        idmap = jax.lax.with_sharding_constraint(idmap, out_sharding)
+        return sem_probs, idmap, counts
 
     return fn
