@@ -172,6 +172,34 @@ def test_fit_loop_writes_logs_and_checkpoints(tmp_path):
     assert ckpts, files
 
 
+def test_live_metrics_and_tensorboard(tmp_path, capsys):
+    """LiveView sparklines + TensorBoard scalars (the reference's visdom
+    plots, model.py:409-419, without the server dependency)."""
+    from tpuseg.runtime.metrics_log import MetricLogger, sparkline
+
+    assert sparkline([]) == ""
+    assert sparkline([1.0]) == "▁"
+    s = sparkline([0.0, 0.5, 1.0])
+    assert s[0] == "▁" and s[-1] == "█" and len(s) == 3
+    # constant history must not divide by zero
+    assert sparkline([2.0, 2.0, 2.0]) == "▁▁▁"
+
+    run_dir = str(tmp_path / "run")
+    logger = MetricLogger(run_dir, live=True, tensorboard=True)
+    for epoch in range(3):
+        logger.log("train", epoch, {"cost": 1.0 - 0.1 * epoch})
+        logger.log("val", epoch, {"cost": 1.2 - 0.1 * epoch})
+    logger.close()
+
+    out = capsys.readouterr().out
+    assert "live metrics:" in out
+    assert "train/cost" in out and "val/cost" in out
+
+    tb_dir = os.path.join(run_dir, "tb")
+    assert os.path.isdir(tb_dir)
+    assert any(f.startswith("events") for f in os.listdir(tb_dir))
+
+
 def test_averager():
     from tpuseg.runtime.metrics_log import Averager
 

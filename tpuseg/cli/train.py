@@ -61,6 +61,11 @@ def main(argv=None):
     parser.add_argument("--ndevices", type=int, default=1,
                         help="data-parallel devices (0 = all available; "
                              "batch is sharded over a 1-D mesh)")
+    parser.add_argument("--live", action="store_true",
+                        help="terminal sparkline live plots per metric "
+                             "(the reference's visdom plots, serverless)")
+    parser.add_argument("--tensorboard", action="store_true",
+                        help="write TensorBoard scalars under <run_dir>/tb")
     opt = parser.parse_args(argv)
 
     cfg = get_config(opt.dataset)
@@ -122,6 +127,7 @@ def main(argv=None):
         cfg, model, state, train_batches, val_batches, run_dir,
         n_epochs=opt.nepochs, rng=jax.random.PRNGKey(cfg.train.seed),
         log_every=10 if opt.debug else 0, mesh=mesh,
+        live=opt.live, tensorboard=opt.tensorboard,
     )
 
 

@@ -44,6 +44,8 @@ def fit(
     rng=None,
     log_every: int = 0,
     mesh=None,
+    live: bool = False,
+    tensorboard: bool = False,
 ) -> TrainState:
     """train_batches/val_batches: callables epoch -> iterable of batch dicts
     (host numpy or device arrays, fixed shapes).
@@ -58,7 +60,7 @@ def fit(
     rng = rng if rng is not None else jax.random.PRNGKey(cfg.train.seed)
     train_step = make_train_step(cfg, model, train_cnn=cfg.train.train_cnn)
     eval_step = make_eval_step(cfg, model)
-    logger = MetricLogger(run_dir)
+    logger = MetricLogger(run_dir, live=live, tensorboard=tensorboard)
 
     n_dev = int(mesh.devices.size) if mesh is not None else 1
     if mesh is not None:

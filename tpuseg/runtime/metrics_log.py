@@ -5,8 +5,12 @@ pair (``code/lib/model.py:55-58, 366-372, 409-419, 454-461``) with:
   * the same ``training.log`` / ``validation.log`` CSVs (Epoch,Cost) for
     format parity,
   * a ``metrics.jsonl`` stream with every metric per epoch,
-  * no implicit network service dependency (the reference requires a
-    running visdom server or training crashes).
+  * an optional LIVE view — terminal unicode sparklines per metric
+    (``live=True``) and/or TensorBoard scalars (``tensorboard=True``,
+    written under ``<run_dir>/tb`` for ``tensorboard --logdir``) — the
+    reference's visdom ``updateTrace`` line plots (model.py:409-419)
+    without the implicit network service dependency (the reference
+    requires a running visdom server or training crashes).
 """
 
 from __future__ import annotations
@@ -14,7 +18,50 @@ from __future__ import annotations
 import json
 import os
 import time
-from typing import Dict, Optional
+from collections import defaultdict
+from typing import Dict, List, Optional
+
+_SPARK = "▁▂▃▄▅▆▇█"
+
+
+def sparkline(values: List[float], width: int = 40) -> str:
+    """Render a metric history as a unicode sparkline (most recent
+    ``width`` points, min-max scaled)."""
+    vals = [v for v in values[-width:] if v == v]  # drop NaN
+    if not vals:
+        return ""
+    lo, hi = min(vals), max(vals)
+    span = (hi - lo) or 1.0
+    return "".join(
+        _SPARK[int((v - lo) / span * (len(_SPARK) - 1))] for v in vals
+    )
+
+
+class LiveView:
+    """Terminal live plot: one sparkline row per (split, metric), redrawn
+    after every log call."""
+
+    def __init__(self, metrics: Optional[List[str]] = None):
+        self._hist: Dict[str, List[float]] = defaultdict(list)
+        self._filter = set(metrics) if metrics else None
+
+    def update(self, split: str, metrics: Dict[str, float]) -> None:
+        for k, v in metrics.items():
+            if self._filter and k not in self._filter:
+                continue
+            self._hist[f"{split}/{k}"].append(float(v))
+        self.render()
+
+    def render(self) -> None:
+        lines = []
+        for name in sorted(self._hist):
+            h = self._hist[name]
+            lines.append(
+                f"  {name:<28s} {sparkline(h):<40s} "
+                f"last={h[-1]:+.4f} min={min(h):+.4f} max={max(h):+.4f}"
+            )
+        if lines:
+            print("live metrics:\n" + "\n".join(lines), flush=True)
 
 
 class Averager:
@@ -40,7 +87,8 @@ class Averager:
 
 
 class MetricLogger:
-    def __init__(self, run_dir: str):
+    def __init__(self, run_dir: str, live: bool = False,
+                 tensorboard: bool = False):
         self.run_dir = run_dir
         os.makedirs(run_dir, exist_ok=True)
         self._train_csv = open(os.path.join(run_dir, "training.log"), "w")
@@ -48,6 +96,18 @@ class MetricLogger:
         self._train_csv.write("Epoch,Cost\n")
         self._val_csv.write("Epoch,Cost\n")
         self._jsonl = open(os.path.join(run_dir, "metrics.jsonl"), "a")
+        self._live = LiveView() if live else None
+        self._tb = None
+        if tensorboard:
+            # torch's SummaryWriter (baked in); degrade gracefully if the
+            # environment lacks it — logging must never kill training
+            # (the reference's visdom dependency does exactly that)
+            try:
+                from torch.utils.tensorboard import SummaryWriter
+
+                self._tb = SummaryWriter(os.path.join(run_dir, "tb"))
+            except Exception as e:  # pragma: no cover
+                print(f"tensorboard writer unavailable ({e}); skipping")
 
     def log(self, split: str, epoch: int, metrics: Dict[str, float],
             cost_key: str = "ins_dice_loss") -> None:
@@ -63,8 +123,16 @@ class MetricLogger:
         f = self._train_csv if split == "train" else self._val_csv
         f.write(f"{epoch},{cost}\n")
         f.flush()
+        if self._live is not None:
+            self._live.update(split, metrics)
+        if self._tb is not None:
+            for k, v in metrics.items():
+                self._tb.add_scalar(f"{split}/{k}", float(v), epoch)
+            self._tb.flush()
 
     def close(self):
         self._train_csv.close()
         self._val_csv.close()
         self._jsonl.close()
+        if self._tb is not None:
+            self._tb.close()
