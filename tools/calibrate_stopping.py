@@ -1,0 +1,189 @@
+"""Calibrate the extraction stopping rule against the count head.
+
+VERDICT r2 #2: the count head should PREDICT, not just cap — |DiC| on the
+hard split is governed by how extraction stops (remaining-foreground
+threshold, consecutive-miss cutoff, budget).  The stopping knobs are
+runtime device scalars (decoder/instance.py ``stop_params``), so one
+compiled rounds program serves the whole sweep: prep each batch once,
+then re-run only the (cheap) round scan per configuration.
+
+Scores each config on a synthetic hard-preset val split:
+  score = mean SBD - dic_weight * |DiC|
+and writes CALIBRATION.md + the best (min_frac, max_misses) into
+``assets/stop_params.json`` for pred_list/bench to pick up.
+
+Usage: python tools/calibrate_stopping.py [--ckpt assets/synthetic_ckpt.msgpack]
+         [--n 32] [--res 256] [--bf16] [--seed 77]
+"""
+
+from __future__ import annotations
+
+import argparse
+import itertools
+import json
+import os
+import sys
+import time
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--ckpt", default="assets/synthetic_ckpt.msgpack")
+    ap.add_argument("--n", type=int, default=32)
+    ap.add_argument("--res", type=int, default=256)
+    ap.add_argument("--batch", type=int, default=16)
+    ap.add_argument("--max-leaves", type=int, default=14)
+    ap.add_argument("--seed", type=int, default=77)
+    ap.add_argument("--bf16", action="store_true")
+    ap.add_argument("--dic-weight", type=float, default=0.05)
+    ap.add_argument("--cpu", action="store_true",
+                    help="force local CPU (smoke test)")
+    ap.add_argument("--out", default="CALIBRATION.md")
+    args = ap.parse_args()
+    os.chdir(_REPO)
+
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+
+    from tpuseg.cli.common import (
+        adapt_cfg_to_checkpoint, build_model, load_variables,
+    )
+    from tpuseg.configs import cvppp_config
+    from tpuseg.data.synthetic import make_scene
+    from tpuseg.evalm.metrics import symmetric_best_dice_batch
+    from tpuseg.runtime.predict import Predictor
+    from tpuseg.utils import enable_compilation_cache
+
+    enable_compilation_cache()
+
+    import dataclasses
+
+    cfg = cvppp_config()
+    cfg = adapt_cfg_to_checkpoint(cfg, args.ckpt)
+    cfg = dataclasses.replace(
+        cfg,
+        data=dataclasses.replace(
+            cfg.data, image_height=args.res, image_width=args.res
+        ),
+    )
+    model = build_model(cfg, dtype=jnp.bfloat16 if args.bf16 else None)
+    variables = load_variables(cfg, model, args.ckpt)
+
+    rng = np.random.default_rng(args.seed)
+    imgs, gt_ids, gt_ns = [], [], []
+    for _ in range(args.n):
+        rgb, _, ins, n = make_scene(
+            rng, args.res, args.res, hard=True, max_leaves=args.max_leaves
+        )
+        idmap = np.zeros((args.res, args.res), np.int32)
+        for j in range(ins.shape[-1]):
+            idmap[ins[..., j] > 0] = j + 1
+        imgs.append(rgb)
+        gt_ids.append(idmap)
+        gt_ns.append(n)
+    imgs = np.stack(imgs).astype(np.uint8)
+    gt_ids = np.stack(gt_ids)
+    gt_ns = np.array(gt_ns)
+
+    p = Predictor(cfg, model, variables, batch_size=args.batch, staged=True)
+    G = max(int(cfg.decoder.extract_group), 1)
+    max_rounds = -(-cfg.data.max_n_objects // G)
+    dec_vars = p._decoder_variables()
+
+    # prep once per batch (the expensive half), reused by every config
+    preps = []
+    for s in range(0, args.n, args.batch):
+        chunk = imgs[s : s + args.batch]
+        if len(chunk) < args.batch:
+            pad = np.repeat(chunk[:1], args.batch - len(chunk), axis=0)
+            chunk = np.concatenate([chunk, pad])
+        preps.append(
+            (p._infer_prep(p.variables, jnp.asarray(chunk)), len(imgs[s : s + args.batch]))
+        )
+
+    grid_frac = [0.0005, 0.001, 0.003, 0.006, 0.012]
+    grid_miss = [1, 2, 3, 5]
+    rows = []
+    rounds1 = p._rounds_fn(1)
+    for min_frac, max_misses in itertools.product(grid_frac, grid_miss):
+        sp = (jnp.asarray(min_frac, jnp.float32),
+              jnp.asarray(max_misses, jnp.int32))
+        pred_ids, pred_ns, rounds_used = [], [], []
+        t0 = time.time()
+        for (fg, sem_mask, budget, score, skips_t), n_valid in preps:
+            # 1-round increments: same final state as one max_rounds
+            # dispatch (continuation exactness, tested), and the loop
+            # exit round measures how fast `done` converges — the number
+            # that decides whether staged dispatch beats the static scan
+            carry = None
+            used = 0
+            while used < max_rounds:
+                idmap, counts, carry = rounds1(
+                    dec_vars, sem_mask, score, skips_t, budget, carry, sp
+                )
+                used += 1
+                if bool(np.asarray(carry["done"]).all()):
+                    break
+            rounds_used.append(used)
+            pred_ids.append(np.asarray(idmap)[:n_valid])
+            pred_ns.append(np.asarray(counts)[:n_valid])
+        pred_ids = np.concatenate(pred_ids).astype(np.int32)
+        pred_ns = np.concatenate(pred_ns)
+        sbd = float(np.mean(np.asarray(
+            symmetric_best_dice_batch(gt_ids, pred_ids)
+        )))
+        dic = float(np.mean(np.abs(gt_ns - pred_ns)))
+        score_v = sbd - args.dic_weight * dic
+        rows.append({
+            "min_frac": min_frac, "max_misses": max_misses,
+            "sbd": round(sbd, 4), "abs_dic": round(dic, 4),
+            "score": round(score_v, 4),
+            "rounds_to_done": round(float(np.mean(rounds_used)), 2),
+            "secs": round(time.time() - t0, 1),
+        })
+        print(rows[-1], flush=True)
+
+    rows.sort(key=lambda r: -r["score"])
+    best = rows[0]
+    with open(args.out, "w") as f:
+        f.write(
+            "# Extraction stopping-rule calibration\n\n"
+            f"Sweep over (min_remaining_frac, max_extract_misses) on "
+            f"{args.n} hard-preset synthetic images at {args.res}², "
+            f"checkpoint `{args.ckpt}`, staged dispatch (prep computed "
+            "once; each config re-runs only the round scan with runtime "
+            "stop scalars).  Score = SBD - "
+            f"{args.dic_weight}*|DiC|.\n\n"
+            "| min_frac | max_misses | SBD | abs DiC | score | rounds |\n"
+            "|---|---|---|---|---|---|\n"
+            + "\n".join(
+                f"| {r['min_frac']} | {r['max_misses']} | {r['sbd']} |"
+                f" {r['abs_dic']} | {r['score']} | {r['rounds_to_done']} |"
+                for r in rows
+            )
+            + f"\n\nBest: min_frac={best['min_frac']}, "
+            f"max_misses={best['max_misses']} "
+            f"(SBD {best['sbd']}, |DiC| {best['abs_dic']}).\n"
+        )
+    with open(os.path.join("assets", "stop_params.json"), "w") as f:
+        json.dump(
+            {"min_remaining_frac": best["min_frac"],
+             "max_extract_misses": best["max_misses"],
+             "calibrated_on": f"hard{args.n}@{args.res} seed{args.seed}",
+             "sbd": best["sbd"], "abs_dic": best["abs_dic"]},
+            f, indent=2,
+        )
+    print(f"wrote {args.out} + assets/stop_params.json; best={best}")
+
+
+if __name__ == "__main__":
+    main()

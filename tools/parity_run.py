@@ -316,10 +316,42 @@ def main():
             rel = abs(r - t) / max(abs(r), 1e-8)
             lines.append(f"| {e} | {rk} | {r:.6f} | {t:.6f} | {rel:.2e} |")
     lines.append("")
-    lines.append("## Worst relative deltas (training steps)")
+    # Tolerance bands (VERDICT r2 #6): the well-conditioned terms are
+    # held to a hard band; INS Cost carries the REINFORCE term whose
+    # argmax glimpse makes it chaotic (see "Reading the numbers"), so its
+    # band is wide and the real check is its step-0 exactness.
+    BANDS = {
+        "INS Cost": 1.0,
+        "Criterion": 0.05,
+        "ins_ce_loss": 0.10,
+        "ins_dice_loss": 0.05,
+        "CE Cost": 0.05,
+        "Dice Cost": 0.05,
+    }
+    lines.append("## Worst relative deltas (training steps) vs tolerance")
     lines.append("")
+    lines.append("| term | worst rel | band | within |")
+    lines.append("|---|---|---|---|")
+    band_fail = []
     for rk, v in worst.items():
-        lines.append(f"- {rk}: {v:.3e}")
+        band = BANDS.get(rk, 0.05)
+        ok = v <= band
+        if not ok:
+            band_fail.append(rk)
+        lines.append(f"| {rk} | {v:.3e} | {band} | {'yes' if ok else 'NO'} |")
+    lines.append("")
+    step0_fail = []
+    for rk, tk in KEYMAP:
+        r = ref_train[0].get(rk, float("nan"))
+        t = tpu_train[0].get(tk, float("nan"))
+        rel0 = abs(r - t) / max(abs(r), 1e-8)
+        if not rel0 <= 1e-4:
+            step0_fail.append((rk, rel0))
+    lines.append(
+        f"Step-0 exactness (identical weights, first forward): all terms "
+        f"must match to rel<=1e-4 — "
+        + ("PASS." if not step0_fail else f"FAIL: {step0_fail}.")
+    )
     lines.append("")
     lines.append(
         "## Reading the numbers\n\n"
@@ -342,6 +374,10 @@ def main():
     print(f"wrote {args.out}")
     for rk, v in worst.items():
         print(f"  worst rel delta {rk}: {v:.3e}")
+    if band_fail or step0_fail:
+        print(f"PARITY BAND FAILURES: bands={band_fail} step0={step0_fail}")
+        sys.exit(1)
+    print("all terms within tolerance bands; step-0 exact")
 
 
 if __name__ == "__main__":

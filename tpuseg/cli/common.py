@@ -155,6 +155,29 @@ def load_variables(cfg: Config, model: ReSeg, model_path: str = "", seed: int = 
     return _merge_restore(dict(variables), stored)
 
 
+def load_stop_params(path: str = "") -> Optional[Tuple[float, int]]:
+    """Calibrated extraction stopping rule, if tools/calibrate_stopping.py
+    has produced one (assets/stop_params.json next to the repo root).
+    Returns (min_remaining_frac, max_extract_misses) or None."""
+    import json
+
+    if not path:
+        path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), os.pardir,
+            os.pardir, "assets", "stop_params.json",
+        )
+    if not os.path.isfile(path):
+        return None
+    try:
+        with open(path) as f:
+            d = json.load(f)
+        return (
+            float(d["min_remaining_frac"]), int(d["max_extract_misses"])
+        )
+    except (ValueError, KeyError, OSError):
+        return None
+
+
 def spectral_colors(n: int) -> np.ndarray:
     """plt.cm.Spectral colour table (pred_list.py:77-82)."""
     import matplotlib

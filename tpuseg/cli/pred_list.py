@@ -19,6 +19,7 @@ from tpuseg.cli.common import (
     adapt_cfg_to_checkpoint,
     build_model,
     colorize_instances,
+    load_stop_params,
     load_variables,
 )
 from tpuseg.runtime.predict import Predictor
@@ -49,6 +50,13 @@ def main(argv=None):
                         help="mixed-resolution bucketed inference: no fixed "
                              "256x256 resize; images run at native "
                              "resolution rounded up to shape buckets")
+    parser.add_argument("--staged", action="store_true", default=None,
+                        help="staged extraction dispatch: run only the "
+                             "extraction rounds the batch needs (sized by "
+                             "the count head) instead of the static "
+                             "worst case; identical outputs")
+    parser.add_argument("--no-staged", dest="staged", action="store_false",
+                        help="force the monolithic single-program inference")
     opt = parser.parse_args(argv)
 
     assert opt.dataset in ["CVPPP"]
@@ -80,9 +88,19 @@ def main(argv=None):
     import jax
 
     n_dev = opt.ndevices if opt.ndevices else len(jax.devices())
+    stop_params = load_stop_params()
+    staged = opt.staged
+    if staged is None:
+        # auto: staged dispatch pays off when the count head can size the
+        # round budget below the static cap AND a calibrated stopping
+        # rule makes extraction actually stop near the budget (measured:
+        # with the uncalibrated rule the done-tail runs 7-8 rounds and
+        # staging loses to the monolithic program through the tunnel)
+        staged = bool(cfg.model.use_count_head) and stop_params is not None
     predictor = Predictor(
         cfg, model, variables, batch_size=opt.batchsize,
         use_mesh=n_dev > 1, n_devices=n_dev if n_dev > 1 else None,
+        staged=staged, stop_params=stop_params,
     )
 
     image_names = [

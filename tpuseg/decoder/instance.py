@@ -121,17 +121,28 @@ def evaluate_masks(
 
 
 class _GlimpseStep(nn.Module):
-    """One glimpse iteration, scanned over K static slots."""
+    """One glimpse iteration, scanned over K static slots.
+
+    mode="prep" exposes the glimpse-independent half (the skip-feature
+    transforms) as its own program for the staged inference dispatch —
+    instantiated unscanned under the SAME module name as the scan
+    ("glimpse"), so its params resolve to the scan's broadcast params.
+    """
 
     cfg: DecoderConfig
     train: bool
-    mode: str = "loss"  # "loss" | "extract"
+    mode: str = "loss"  # "loss" | "extract" | "prep"
     dtype: Optional[jnp.dtype] = None
+    n_filters: Optional[int] = None  # required when const has no feats
 
     @nn.compact
     def __call__(self, carry, const, xs):
         cfg = self.cfg
-        n_filters = const["feats"][0].shape[-1]
+        n_filters = (
+            self.n_filters
+            if const.get("feats") is None
+            else const["feats"][0].shape[-1]
+        )
         bone_cls = AttenDecoder
         if self.mode == "loss" and self.train and cfg.remat:
             # remat the pyramid decode: the backward pass recomputes level
@@ -141,6 +152,8 @@ class _GlimpseStep(nn.Module):
         bone = bone_cls(
             cfg=cfg, n_filters=n_filters, dtype=self.dtype, name="bone"
         )
+        if self.mode == "prep":
+            return tuple(bone.transform_skips(const["feats"], False))
         if self.mode == "loss":
             return self._loss_step(bone, carry, const, xs)
         return self._extract_step(bone, carry, const, xs)
@@ -327,8 +340,11 @@ class _GlimpseStep(nn.Module):
         score = const["score"]        # (B, H, W, 1) merged attention map
         sem_mask = const["sem_mask"]  # (B, H, W, 1) predicted fg
         feats = const["feats"]
-        min_pixels = const["min_pixels"]  # (B,) stop threshold
+        min_pixels = const["min_pixels"]  # (B,) stop + min-size threshold
         max_count = const["max_count"]    # (B,) per-sample instance budget
+        # scalar consecutive-miss cutoff — a runtime input (not a baked
+        # constant) so stopping-rule calibration sweeps reuse the program
+        max_misses = const["max_misses"]
         k = xs["k"]
         b, h, w, _ = sem_mask.shape
 
@@ -346,7 +362,11 @@ class _GlimpseStep(nn.Module):
         def _reuse_skips(_):
             return carry["skips_t"]
 
-        if self.is_initializing():
+        if feats is None:
+            # staged dispatch (extract_rounds): transforms arrive
+            # precomputed in the carry; k >= 1 by construction
+            skips_t = carry["skips_t"]
+        elif self.is_initializing():
             skips_t = _compute_skips(None)
         else:
             skips_t = jax.lax.cond(k == 0, _compute_skips, _reuse_skips, None)
@@ -443,7 +463,7 @@ class _GlimpseStep(nn.Module):
                 done = (
                     done
                     | (rem_px <= min_pixels)
-                    | (misses >= cfg.max_extract_misses)
+                    | (misses >= max_misses)
                     | (count >= max_count)
                 )
             return remaining, idmap, count, misses, done
@@ -520,17 +540,137 @@ class InstanceDecoder(nn.Module):
         mode: str = "loss",
         max_instances: Optional[int] = None,
         count_budget=None,
+        score=None,
+        skips_t=None,
+        n_rounds: Optional[int] = None,
+        n_filters: Optional[int] = None,
+        carry_in=None,
+        stop_params=None,
     ):
         """mode='loss': glimpse-loop loss; mode='extract': instance inference.
 
         Both modes share every parameter (same submodule paths).
         ``count_budget`` (B,) optionally caps the number of instances each
-        sample may emit during extraction (the learned count head)."""
+        sample may emit during extraction (the learned count head).
+        ``stop_params`` optionally overrides the extraction stopping rule
+        at RUNTIME as ``(min_remaining_frac, max_extract_misses)`` device
+        scalars — calibration sweeps reuse one compiled program instead
+        of recompiling per config (tools/calibrate_stopping.py).
+
+        Staged-dispatch pair (each its own jitted program; the host reads
+        only the tiny count vector between them, so the round scan can be
+        compiled for the rounds a batch actually needs instead of the
+        static worst case — see runtime/predict.py):
+          * mode='prep': attention + skip transforms once per batch ->
+            (score, skips_t);
+          * mode='extract_rounds': ``n_rounds`` (static) extraction rounds
+            from prepped inputs; resumable via ``carry_in`` ->
+            (idmap, count, carry_out).
+        """
         if mode == "extract":
             return self._extract(
-                encode, sem_mask, feats, max_instances, count_budget
+                encode, sem_mask, feats, max_instances, count_budget,
+                stop_params,
+            )
+        if mode == "prep":
+            return self._prep(encode, sem_mask, feats)
+        if mode == "extract_rounds":
+            return self._extract_rounds(
+                sem_mask, score, skips_t, max_instances, count_budget,
+                n_rounds, n_filters, carry_in, stop_params,
             )
         return self._loss(encode, sem_mask, target, n_ins, feats, train)
+
+    def _prep(self, encode, sem_mask, feats):
+        """Glimpse-independent half of extraction: merged attention score
+        + transformed skip features (the 'attend + skip transforms' fixed
+        cost in PERF.md, paid once per batch)."""
+        dummy_target = sem_mask
+        _, pro_merge = self._attend(encode, sem_mask, dummy_target, False)
+        step = _GlimpseStep(
+            cfg=self.cfg, train=False, mode="prep", dtype=self.dtype,
+            name="glimpse",
+        )
+        skips_t = step(None, {"feats": feats}, None)
+        return pro_merge, skips_t
+
+    @staticmethod
+    def _stop_scalars(cfg, stop_params):
+        """(min_remaining_frac, max_extract_misses) as device scalars —
+        from the runtime override or the config defaults."""
+        if stop_params is None:
+            return (
+                jnp.asarray(cfg.min_remaining_frac, jnp.float32),
+                jnp.asarray(cfg.max_extract_misses, jnp.int32),
+            )
+        min_frac, max_misses = stop_params
+        return (
+            jnp.asarray(min_frac, jnp.float32),
+            jnp.asarray(max_misses, jnp.int32),
+        )
+
+    def _extract_rounds(
+        self, sem_mask, score, skips_t, max_instances, count_budget,
+        n_rounds: int, n_filters: int, carry_in=None, stop_params=None,
+    ):
+        """``n_rounds`` extraction rounds from prepped (score, skips_t).
+
+        Identical round math to ``_extract``'s scan (same scanned module,
+        same param paths) minus the k==0 skip-transform branch — the
+        transforms arrive precomputed, so ``k`` starts at 1.  Passing the
+        returned ``carry_out`` back as ``carry_in`` continues extraction
+        exactly where it stopped, enabling the host-level round stepping
+        PERF.md sketches: dispatch a few rounds, read the tiny ``done``
+        vector, continue only if some sample still has budget left.
+        """
+        cfg = self.cfg
+        b, h, w, _ = sem_mask.shape
+        k_static = max_instances or self.max_n_objects
+
+        min_frac, max_misses = self._stop_scalars(cfg, stop_params)
+        fg_px = jnp.sum(sem_mask.reshape(b, -1), axis=1)
+        min_pixels = jnp.maximum(fg_px * min_frac, 1.0)
+
+        if carry_in is None:
+            carry0 = {
+                "remaining": sem_mask.astype(jnp.float32),
+                "idmap": jnp.zeros((b, h, w), jnp.int32),
+                "count": jnp.zeros((b,), jnp.int32),
+                "done": fg_px <= min_pixels,
+                "misses": jnp.zeros((b,), jnp.int32),
+                "skips_t": tuple(skips_t),
+            }
+        else:
+            carry0 = dict(carry_in)
+            carry0["skips_t"] = tuple(skips_t)
+
+        if count_budget is None:
+            max_count = jnp.full((b,), k_static, jnp.int32)
+        else:
+            max_count = jnp.minimum(count_budget.astype(jnp.int32), k_static)
+        const = {
+            "score": score,
+            "sem_mask": sem_mask.astype(jnp.float32),
+            "feats": None,
+            "min_pixels": min_pixels,
+            "max_count": max_count,
+            "max_misses": max_misses,
+        }
+        step_kwargs = dict(
+            cfg=cfg, train=False, mode="extract", dtype=self.dtype,
+            n_filters=n_filters, name="glimpse",
+        )
+        # k >= 1 always: the scanned step's k==0 branch (compute skip
+        # transforms) never fires — they are inputs here.
+        xs = {"k": jnp.arange(1, n_rounds + 1, dtype=jnp.int32)}
+        scan = _scanned(
+            step_kwargs, length=n_rounds, carry_stats=False, need_rngs=False,
+        )
+        carry, _ = scan(carry0, const, xs)
+        carry_out = {
+            k: v for k, v in carry.items() if k != "skips_t"
+        }
+        return carry["idmap"], carry["count"], carry_out
 
     def _loss(
         self, encode, sem_mask, target, n_ins, feats, train: bool
@@ -631,7 +771,7 @@ class InstanceDecoder(nn.Module):
 
     def _extract(
         self, encode, sem_mask, feats, max_instances: Optional[int] = None,
-        count_budget=None,
+        count_budget=None, stop_params=None,
     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
         """Batched instance extraction at inference (new working path).
 
@@ -656,8 +796,9 @@ class InstanceDecoder(nn.Module):
         pro_split, pro_merge = self._attend(encode, sem_mask, dummy_target, False)
         del pro_split
 
+        min_frac, max_misses = self._stop_scalars(cfg, stop_params)
         fg_px = jnp.sum(sem_mask.reshape(b, -1), axis=1)
-        min_pixels = jnp.maximum(fg_px * cfg.min_remaining_frac, 1.0)
+        min_pixels = jnp.maximum(fg_px * min_frac, 1.0)
 
         skip_dtype = self.dtype or jnp.float32
         carry0 = {
@@ -687,6 +828,7 @@ class InstanceDecoder(nn.Module):
             "feats": feats,
             "min_pixels": min_pixels,
             "max_count": max_count,
+            "max_misses": max_misses,
         }
         step_kwargs = dict(
             cfg=cfg, train=False, mode="extract", dtype=self.dtype,

@@ -119,6 +119,7 @@ class ReSeg(nn.Module):
         train: bool = False,
         mode: str = "loss",
         max_instances: Optional[int] = None,
+        stop_params: Optional[Tuple] = None,
     ):
         """images: (B, H, W, 21) standardized inputs (NHWC).
 
@@ -178,21 +179,35 @@ class ReSeg(nn.Module):
             )
             return sem_probs, x_enc, n_est
 
-        if mode == "infer":
+        if mode in ("infer", "infer_prep"):
             sem_probs = jax.nn.softmax(sem_logits, axis=-1)
             sem_mask = jnp.argmax(sem_logits, axis=-1)[..., None].astype(
                 jnp.float32
             )
+            k_cap = max_instances or cfg.data.max_n_objects
             count_budget = None
             if count_logits is not None:
                 # the head's count caps the extraction budget per sample
                 count_budget = jnp.clip(
                     jnp.argmax(count_logits, axis=-1).astype(jnp.int32),
-                    1, max_instances or cfg.data.max_n_objects,
+                    1, k_cap,
                 )
+            if mode == "infer_prep":
+                # stage A of the staged dispatch (runtime/predict.py):
+                # everything glimpse-independent, plus the budget vector
+                # the host reads to size stage B's round count
+                score, skips_t = decoder(
+                    x_enc, sem_mask, feats=skips, mode="prep"
+                )
+                budget = (
+                    count_budget if count_budget is not None
+                    else jnp.full((images.shape[0],), k_cap, jnp.int32)
+                )
+                return sem_probs, sem_mask, budget, score, skips_t
             idmap, counts = decoder(
                 x_enc, sem_mask, feats=skips, mode="extract",
                 max_instances=max_instances, count_budget=count_budget,
+                stop_params=stop_params,
             )
             return sem_probs, idmap, counts
 

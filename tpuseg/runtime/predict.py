@@ -16,7 +16,7 @@ each image's native resolution (prediction.py:47-50).
 from __future__ import annotations
 
 import functools
-from typing import Dict, Iterator, List, Optional, Sequence, Tuple
+from typing import Any, Dict, Iterator, List, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -39,6 +39,8 @@ class Predictor:
         use_mesh: bool = False,
         n_devices: Optional[int] = None,
         max_instances: Optional[int] = None,
+        staged: bool = False,
+        stop_params: Optional[Tuple[float, int]] = None,
     ):
         self.cfg = cfg
         self.model = model
@@ -52,6 +54,12 @@ class Predictor:
             self.batch_size = max(batch_size // n, 1) * n
             self.variables = replicate(variables, self.mesh)
         self.max_instances = max_instances
+        self.staged = staged
+        # stopping-rule override (tools/calibrate_stopping.py writes the
+        # calibrated values to assets/stop_params.json); None = config
+        # defaults.  Baked into the traced programs as constants.
+        self.stop_params = stop_params
+        self._rounds_cache: Dict[int, Any] = {}
 
         @jax.jit
         def _infer(variables, images_u8):
@@ -61,7 +69,8 @@ class Predictor:
             device unless explicitly requested."""
             x = image_ex_standardize(images_u8)
             sem_probs, idmap, counts = model.apply(
-                variables, x, mode="infer", max_instances=max_instances
+                variables, x, mode="infer", max_instances=max_instances,
+                stop_params=stop_params,
             )
             fg = jnp.argmax(sem_probs, axis=-1).astype(jnp.uint8)
             return fg, idmap.astype(jnp.uint8), counts.astype(jnp.int32)
@@ -72,7 +81,8 @@ class Predictor:
         def _infer_with_probs(variables, images_u8):
             x = image_ex_standardize(images_u8)
             sem_probs, idmap, counts = model.apply(
-                variables, x, mode="infer", max_instances=max_instances
+                variables, x, mode="infer", max_instances=max_instances,
+                stop_params=stop_params,
             )
             fg = jnp.argmax(sem_probs, axis=-1).astype(jnp.uint8)
             return sem_probs, fg, idmap.astype(jnp.int32), counts
@@ -85,6 +95,110 @@ class Predictor:
             return model.apply(variables, x, mode="semantic")
 
         self._infer_semantic = _infer_semantic
+
+        @jax.jit
+        def _infer_prep(variables, images_u8):
+            """Stage A of the staged dispatch: everything up to (and
+            including) the glimpse-independent attention + skip
+            transforms, plus the count-head budget vector — the ONLY
+            value the host reads between stages."""
+            x = image_ex_standardize(images_u8)
+            sem_probs, sem_mask, budget, score, skips_t = model.apply(
+                variables, x, mode="infer_prep",
+                max_instances=max_instances,
+            )
+            fg = jnp.argmax(sem_probs, axis=-1).astype(jnp.uint8)
+            return fg, sem_mask, budget, score, skips_t
+
+        self._infer_prep = _infer_prep
+
+    # ---------------------- staged extraction -------------------------
+
+    def _decoder_module(self):
+        from tpuseg.decoder.instance import InstanceDecoder
+
+        return InstanceDecoder(
+            cfg=self.cfg.decoder,
+            max_n_objects=self.cfg.data.max_n_objects,
+            dtype=getattr(self.model, "dtype", None),
+        )
+
+    def _decoder_variables(self):
+        return {
+            col: tree["decoder"]
+            for col, tree in self.variables.items()
+            if "decoder" in tree
+        }
+
+    def _rounds_fn(self, n_rounds: int):
+        """Jitted stage-B program running exactly ``n_rounds`` extraction
+        rounds (one executable per distinct n, cached)."""
+        if n_rounds in self._rounds_cache:
+            return self._rounds_cache[n_rounds]
+        dec = self._decoder_module()
+        max_instances = self.max_instances
+        n_filters = self.cfg.model.n_filters
+        default_sp = self.stop_params  # baked constants when set
+
+        @jax.jit
+        def f(dec_vars, sem_mask, score, skips_t, budget, carry_in,
+              stop_params=None):
+            idmap, counts, carry = dec.apply(
+                dec_vars, None, sem_mask, mode="extract_rounds",
+                score=score, skips_t=skips_t,
+                max_instances=max_instances, count_budget=budget,
+                n_rounds=n_rounds, n_filters=n_filters,
+                carry_in=carry_in,
+                stop_params=(
+                    stop_params if stop_params is not None else default_sp
+                ),
+            )
+            return idmap.astype(jnp.uint8), counts.astype(jnp.int32), carry
+
+        self._rounds_cache[n_rounds] = f
+        return f
+
+    def _infer_staged(self, variables, x):
+        """Staged dispatch: prep once, read the tiny per-sample budget
+        vector, then run only the extraction rounds the batch needs —
+        the static path always pays ceil(max_instances/G) rounds (PERF.md:
+        15.41 ms/img at the k=32 cap vs 8.60 at k=16 purely from wasted
+        rounds), while typical batches need ceil(max_count/G).
+
+        A continuation loop (2-round steps, device-resident carry, one
+        tiny ``done`` readback each) covers miss-heavy samples, so the
+        result is EXACTLY the static path's: extraction stops when every
+        sample is done or the static round budget is exhausted
+        (tests/test_staged_extraction.py asserts idmap equality)."""
+        return self._extract_from_prep(self._infer_prep(variables, x))
+
+    def _extract_from_prep(self, prep_out):
+        """Stage B driver from a stage-A output (separate so pipelines can
+        dispatch every batch's prep before the first budget readback)."""
+        cfg = self.cfg
+        G = max(int(cfg.decoder.extract_group), 1)
+        k_static = self.max_instances or cfg.data.max_n_objects
+        max_rounds = -(-k_static // G)
+        cont_rounds = 2
+
+        fg, sem_mask, budget, score, skips_t = prep_out
+        need = int(np.asarray(jnp.max(budget)))  # the one host readback
+        n = min(max(-(-need // G), 1), max_rounds)
+        dec_vars = self._decoder_variables()
+
+        carry = None
+        idmap = counts = None
+        used = 0
+        while used < max_rounds:
+            step_n = min(n, max_rounds - used)
+            idmap, counts, carry = self._rounds_fn(step_n)(
+                dec_vars, sem_mask, score, skips_t, budget, carry
+            )
+            used += step_n
+            if used >= max_rounds or bool(np.asarray(carry["done"]).all()):
+                break
+            n = cont_rounds
+        return fg, idmap, counts
 
     # ------------------------------------------------------------------
     def _load(self, path: str) -> Tuple[np.ndarray, np.ndarray, Tuple[int, int]]:
@@ -112,7 +226,10 @@ class Predictor:
             x = shard_batch(x, self.mesh)
         if with_probs:
             return self._infer_with_probs(self.variables, x)
-        fg, idmap, counts = self._infer(self.variables, x)
+        if self.staged:
+            fg, idmap, counts = self._infer_staged(self.variables, x)
+        else:
+            fg, idmap, counts = self._infer(self.variables, x)
         return None, fg, idmap, counts
 
     def predict_paths(self, paths: Sequence[str]) -> Iterator[Dict]:
