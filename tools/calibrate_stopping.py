@@ -45,6 +45,9 @@ def main():
     ap.add_argument("--cpu", action="store_true",
                     help="force local CPU (smoke test)")
     ap.add_argument("--out", default="CALIBRATION.md")
+    ap.add_argument("--no-install", action="store_true",
+                    help="report only; do not write assets/stop_params.json"
+                         " (use for comparing non-installed checkpoints)")
     args = ap.parse_args()
     os.chdir(_REPO)
 
@@ -174,15 +177,18 @@ def main():
             f"max_misses={best['max_misses']} "
             f"(SBD {best['sbd']}, |DiC| {best['abs_dic']}).\n"
         )
-    with open(os.path.join("assets", "stop_params.json"), "w") as f:
-        json.dump(
-            {"min_remaining_frac": best["min_frac"],
-             "max_extract_misses": best["max_misses"],
-             "calibrated_on": f"hard{args.n}@{args.res} seed{args.seed}",
-             "sbd": best["sbd"], "abs_dic": best["abs_dic"]},
-            f, indent=2,
-        )
-    print(f"wrote {args.out} + assets/stop_params.json; best={best}")
+    if not args.no_install:
+        with open(os.path.join("assets", "stop_params.json"), "w") as f:
+            json.dump(
+                {"min_remaining_frac": best["min_frac"],
+                 "max_extract_misses": best["max_misses"],
+                 "calibrated_on": f"hard{args.n}@{args.res} seed{args.seed}",
+                 "ckpt": args.ckpt,
+                 "sbd": best["sbd"], "abs_dic": best["abs_dic"]},
+                f, indent=2,
+            )
+        print(f"wrote assets/stop_params.json")
+    print(f"wrote {args.out}; best={best}")
 
 
 if __name__ == "__main__":
