@@ -67,19 +67,17 @@ def _build(dtype=None):
 
 
 def measure_tpu(cfg, model, variables, images) -> float:
-    import jax
     import jax.numpy as jnp
 
-    from tpuseg.data.colorspace import image_ex_standardize
+    from tpuseg.cli.common import load_stop_params
+    from tpuseg.runtime.predict import Predictor
 
-    @jax.jit
-    def infer(variables, x_u8):
-        # compact uint8 outputs: the host link (~60 MB/s through the
-        # tunnel) is the bottleneck, not compute
-        x = image_ex_standardize(x_u8)
-        sem_probs, idmap, counts = model.apply(variables, x, mode="infer")
-        fg = jnp.argmax(sem_probs, axis=-1).astype(jnp.uint8)
-        return fg, idmap.astype(jnp.uint8), counts.astype(jnp.int32)
+    # the production pred_list path: Predictor._infer (one fused jitted
+    # program; compact uint8 outputs — the host link at ~60 MB/s through
+    # the tunnel is the bottleneck, not compute)
+    p = Predictor(cfg, model, variables, batch_size=BATCH,
+                  stop_params=load_stop_params())
+    infer = p._infer
 
     batches = [
         jnp.asarray(images[i : i + BATCH])
@@ -169,7 +167,8 @@ def main():
     import sys
 
     if cfg.model.use_count_head:
-        # production path (pred_list default): staged dispatch
+        # A/B both dispatch modes (monolithic is the pred_list default;
+        # staged loses through the tunnel — see pred_list.py)
         ips = measure_tpu_staged(cfg, model, variables, images)
         ips_mono = measure_tpu(cfg, model, variables, images)
         print(

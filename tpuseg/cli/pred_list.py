@@ -91,12 +91,13 @@ def main(argv=None):
     stop_params = load_stop_params()
     staged = opt.staged
     if staged is None:
-        # auto: staged dispatch pays off when the count head can size the
-        # round budget below the static cap AND a calibrated stopping
-        # rule makes extraction actually stop near the budget (measured:
-        # with the uncalibrated rule the done-tail runs 7-8 rounds and
-        # staging loses to the monolithic program through the tunnel)
-        staged = bool(cfg.model.use_count_head) and stop_params is not None
+        # auto: OFF. Measured on the tunnelled chip (bench.py, B=32,
+        # calibrated stopping rule installed): staged 50.8 img/s vs
+        # monolithic 70.0 — the per-round `done` readback pays the
+        # ~26 ms tunnel round-trip every round, which outweighs the
+        # 2-3 rounds the early exit saves. Opt in with --staged on
+        # locally attached chips where dispatch latency is ~µs.
+        staged = False
     predictor = Predictor(
         cfg, model, variables, batch_size=opt.batchsize,
         use_mesh=n_dev > 1, n_devices=n_dev if n_dev > 1 else None,

@@ -363,9 +363,10 @@ class _GlimpseStep(nn.Module):
             return carry["skips_t"]
 
         if feats is None:
-            # staged dispatch (extract_rounds): transforms arrive
-            # precomputed in the carry; k >= 1 by construction
-            skips_t = carry["skips_t"]
+            # extract_rounds path: transforms arrive precomputed, already
+            # repeated to the B*G decode batch, as loop-invariant consts;
+            # k >= 1 by construction and the carry holds no skips
+            skips_t = None
         elif self.is_initializing():
             skips_t = _compute_skips(None)
         else:
@@ -396,8 +397,12 @@ class _GlimpseStep(nn.Module):
 
             # -- decode all G glimpses in one pyramid pass (B*G batch)
             pts = jnp.stack(points, axis=1).reshape(b * G)  # (B*G,)
-            skips_rep = [jnp.repeat(st, G, axis=0) for st in skips_t]
-            sem_rep = jnp.repeat(sem_mask, G, axis=0)
+            if const.get("skips_rep") is not None:
+                skips_rep = list(const["skips_rep"])
+                sem_rep = const["sem_rep"]
+            else:
+                skips_rep = [jnp.repeat(st, G, axis=0) for st in skips_t]
+                sem_rep = jnp.repeat(sem_mask, G, axis=0)
             _, preds_all = bone.decode(
                 pts, skips_rep, sem_rep, gold=None, train=False
             )
@@ -475,17 +480,23 @@ class _GlimpseStep(nn.Module):
         if self.is_initializing():
             op = _round(op)
         else:
+            # measured on TPU (bench A/B): this cond DOES skip whole
+            # rounds once every sample is done — 82.8 -> 64.3 img/s
+            # without it — despite the small-probe predication finding
+            # in PERF.md (predication applies to small bodies only)
             op = jax.lax.cond(jnp.any(active), _round, lambda o: o, op)
         remaining, idmap, count, misses, done = op
 
-        return {
+        new_carry = {
             "remaining": remaining,
             "idmap": idmap,
             "count": count,
             "misses": misses,
             "done": done,
-            "skips_t": tuple(skips_t),
-        }, None
+        }
+        if skips_t is not None:
+            new_carry["skips_t"] = tuple(skips_t)
+        return new_carry, None
 
 
 # --------------------------------------------------------------------------
@@ -626,6 +637,7 @@ class InstanceDecoder(nn.Module):
         cfg = self.cfg
         b, h, w, _ = sem_mask.shape
         k_static = max_instances or self.max_n_objects
+        G = max(int(cfg.extract_group), 1)
 
         min_frac, max_misses = self._stop_scalars(cfg, stop_params)
         fg_px = jnp.sum(sem_mask.reshape(b, -1), axis=1)
@@ -638,20 +650,28 @@ class InstanceDecoder(nn.Module):
                 "count": jnp.zeros((b,), jnp.int32),
                 "done": fg_px <= min_pixels,
                 "misses": jnp.zeros((b,), jnp.int32),
-                "skips_t": tuple(skips_t),
             }
         else:
-            carry0 = dict(carry_in)
-            carry0["skips_t"] = tuple(skips_t)
+            carry0 = {
+                k: v for k, v in carry_in.items() if k != "skips_t"
+            }
 
         if count_budget is None:
             max_count = jnp.full((b,), k_static, jnp.int32)
         else:
             max_count = jnp.minimum(count_budget.astype(jnp.int32), k_static)
+        # glimpse-folded decode inputs are ROUND-invariant: repeat the skip
+        # pyramid + semantic mask to the B*G decode batch ONCE here, as
+        # loop-invariant consts, instead of re-materialising ~1 GB of
+        # repeated activations inside every scanned round
         const = {
             "score": score,
             "sem_mask": sem_mask.astype(jnp.float32),
             "feats": None,
+            "skips_rep": tuple(
+                jnp.repeat(st, G, axis=0) for st in skips_t
+            ),
+            "sem_rep": jnp.repeat(sem_mask, G, axis=0).astype(jnp.float32),
             "min_pixels": min_pixels,
             "max_count": max_count,
             "max_misses": max_misses,

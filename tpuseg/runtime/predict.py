@@ -61,17 +61,44 @@ class Predictor:
         self.stop_params = stop_params
         self._rounds_cache: Dict[int, Any] = {}
 
+        dec = self._decoder_module()
+        G = max(int(cfg.decoder.extract_group), 1)
+        k_static = max_instances or cfg.data.max_n_objects
+        max_rounds = -(-k_static // G)
+        n_filters = cfg.model.n_filters
+
+        def _infer_full(variables, images_u8):
+            """Monolithic inference as ONE jitted program, structured as
+            prep + extraction rounds (two ``apply`` calls in one trace).
+            Tracing the halves separately lets the round scan consume the
+            repeated skip pyramid as a loop-invariant const instead of
+            re-materialising it inside every round (~20% of the k=32 cost;
+            see PERF.md), while keeping a single host dispatch."""
+            x = image_ex_standardize(images_u8)
+            sem_probs, sem_mask, budget, score, skips_t = model.apply(
+                variables, x, mode="infer_prep", max_instances=max_instances,
+            )
+            dec_vars = {
+                col: tree["decoder"]
+                for col, tree in variables.items()
+                if "decoder" in tree
+            }
+            idmap, counts, _ = dec.apply(
+                dec_vars, None, sem_mask, mode="extract_rounds",
+                score=score, skips_t=skips_t,
+                max_instances=max_instances, count_budget=budget,
+                n_rounds=max_rounds, n_filters=n_filters,
+                stop_params=stop_params,
+            )
+            return sem_probs, idmap, counts
+
         @jax.jit
         def _infer(variables, images_u8):
             """Compact outputs: host transfer through the device link is
             the pipeline bottleneck (~60 MB/s on the tunnelled backend), so
             masks travel as uint8 and the semantic probabilities stay on
             device unless explicitly requested."""
-            x = image_ex_standardize(images_u8)
-            sem_probs, idmap, counts = model.apply(
-                variables, x, mode="infer", max_instances=max_instances,
-                stop_params=stop_params,
-            )
+            sem_probs, idmap, counts = _infer_full(variables, images_u8)
             fg = jnp.argmax(sem_probs, axis=-1).astype(jnp.uint8)
             return fg, idmap.astype(jnp.uint8), counts.astype(jnp.int32)
 
@@ -79,11 +106,7 @@ class Predictor:
 
         @jax.jit
         def _infer_with_probs(variables, images_u8):
-            x = image_ex_standardize(images_u8)
-            sem_probs, idmap, counts = model.apply(
-                variables, x, mode="infer", max_instances=max_instances,
-                stop_params=stop_params,
-            )
+            sem_probs, idmap, counts = _infer_full(variables, images_u8)
             fg = jnp.argmax(sem_probs, axis=-1).astype(jnp.uint8)
             return sem_probs, fg, idmap.astype(jnp.int32), counts
 
