@@ -47,3 +47,47 @@ def test_transform_decode_split_matches_call():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=1e-6)
     for a, b_ in zip(t1, t2):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b_))
+
+
+def test_conv1_split_decode_matches_full():
+    """decode_split(conv1_partials) == decode(repeated skips) at eval —
+    the linearity split of conv1 (skip+mask channels precomputed at B,
+    x1u+position channels per round) is semantics-preserving."""
+    cfg = DecoderConfig()
+    f = 8
+    G = 2
+    bone = AttenDecoder(cfg=cfg, n_filters=f)
+    b, H = 2, 32
+    rng = np.random.RandomState(3)
+    feats = tuple(
+        jnp.asarray(rng.randn(b, H // s, H // s, c).astype(np.float32))
+        for s, c in zip((1, 2, 4, 8, 16), (f, 2 * f, 4 * f, 8 * f, 16 * f))
+    )
+    sem = jnp.asarray((rng.rand(b, H, H, 1) < 0.5).astype(np.float32))
+    pts = jnp.asarray([5, 100, 640, 1000], jnp.int32)  # b*G points
+    variables = bone.init(
+        jax.random.PRNGKey(0), pts[:b], feats, sem, None, None, False
+    )
+
+    skips_t = bone.apply(
+        variables, feats, False, method=AttenDecoder.transform_skips
+    )
+    skips_rep = [jnp.repeat(s, G, axis=0) for s in skips_t]
+    sem_rep = jnp.repeat(sem, G, axis=0)
+    _, preds_full = bone.apply(
+        variables, pts, skips_rep, sem_rep, None, None, False,
+        method=AttenDecoder.decode,
+    )
+
+    partials = bone.apply(
+        variables, skips_t, sem, method=AttenDecoder.conv1_partials
+    )
+    preds_split = bone.apply(
+        variables, pts, partials, G, method=AttenDecoder.decode_split
+    )
+
+    assert len(preds_split) == len(preds_full) == 5
+    for a, c in zip(preds_full, preds_split):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(c), rtol=2e-4, atol=2e-4
+        )

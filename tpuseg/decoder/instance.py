@@ -153,7 +153,11 @@ class _GlimpseStep(nn.Module):
             cfg=cfg, n_filters=n_filters, dtype=self.dtype, name="bone"
         )
         if self.mode == "prep":
-            return tuple(bone.transform_skips(const["feats"], False))
+            skips_t = tuple(bone.transform_skips(const["feats"], False))
+            sem = const.get("sem_mask")
+            if sem is None:
+                return skips_t
+            return tuple(bone.conv1_partials(skips_t, sem))
         if self.mode == "loss":
             return self._loss_step(bone, carry, const, xs)
         return self._extract_step(bone, carry, const, xs)
@@ -363,9 +367,10 @@ class _GlimpseStep(nn.Module):
             return carry["skips_t"]
 
         if feats is None:
-            # extract_rounds path: transforms arrive precomputed, already
-            # repeated to the B*G decode batch, as loop-invariant consts;
-            # k >= 1 by construction and the carry holds no skips
+            # extract_rounds path: the skip transforms arrive pre-folded
+            # into per-level conv1 partials (const["partials"], batch B)
+            # as loop-invariant consts; k >= 1 by construction and the
+            # carry holds no skips
             skips_t = None
         elif self.is_initializing():
             skips_t = _compute_skips(None)
@@ -397,15 +402,16 @@ class _GlimpseStep(nn.Module):
 
             # -- decode all G glimpses in one pyramid pass (B*G batch)
             pts = jnp.stack(points, axis=1).reshape(b * G)  # (B*G,)
-            if const.get("skips_rep") is not None:
-                skips_rep = list(const["skips_rep"])
-                sem_rep = const["sem_rep"]
+            if const.get("partials") is not None:
+                preds_all = bone.decode_split(
+                    pts, list(const["partials"]), G
+                )
             else:
                 skips_rep = [jnp.repeat(st, G, axis=0) for st in skips_t]
                 sem_rep = jnp.repeat(sem_mask, G, axis=0)
-            _, preds_all = bone.decode(
-                pts, skips_rep, sem_rep, gold=None, train=False
-            )
+                _, preds_all = bone.decode(
+                    pts, skips_rep, sem_rep, gold=None, train=False
+                )
             p = preds_all[-1]
             m_all = (
                 (p[..., 1:2] > p[..., 0:1]).astype(jnp.float32)
@@ -572,8 +578,8 @@ class InstanceDecoder(nn.Module):
         only the tiny count vector between them, so the round scan can be
         compiled for the rounds a batch actually needs instead of the
         static worst case — see runtime/predict.py):
-          * mode='prep': attention + skip transforms once per batch ->
-            (score, skips_t);
+          * mode='prep': attention + skip transforms + their conv1
+            partials once per batch -> (score, partials);
           * mode='extract_rounds': ``n_rounds`` (static) extraction rounds
             from prepped inputs; resumable via ``carry_in`` ->
             (idmap, count, carry_out).
@@ -594,16 +600,21 @@ class InstanceDecoder(nn.Module):
 
     def _prep(self, encode, sem_mask, feats):
         """Glimpse-independent half of extraction: merged attention score
-        + transformed skip features (the 'attend + skip transforms' fixed
-        cost in PERF.md, paid once per batch)."""
+        + the per-level conv1 partials of the transformed skip features
+        (the 'attend + skip transforms' fixed cost in PERF.md, paid once
+        per batch).  The partials fold the skip pyramid AND the semantic
+        mask channels of every level's conv1 into one (B, h, w, out_ch)
+        tensor per level — the extraction rounds then convolve only the
+        per-glimpse channels (pyramid.py ``call_split``), so the skip
+        pyramid is never repeated to the B*G decode batch at all."""
         dummy_target = sem_mask
         _, pro_merge = self._attend(encode, sem_mask, dummy_target, False)
         step = _GlimpseStep(
             cfg=self.cfg, train=False, mode="prep", dtype=self.dtype,
             name="glimpse",
         )
-        skips_t = step(None, {"feats": feats}, None)
-        return pro_merge, skips_t
+        partials = step(None, {"feats": feats, "sem_mask": sem_mask}, None)
+        return pro_merge, partials
 
     @staticmethod
     def _stop_scalars(cfg, stop_params):
@@ -660,18 +671,16 @@ class InstanceDecoder(nn.Module):
             max_count = jnp.full((b,), k_static, jnp.int32)
         else:
             max_count = jnp.minimum(count_budget.astype(jnp.int32), k_static)
-        # glimpse-folded decode inputs are ROUND-invariant: repeat the skip
-        # pyramid + semantic mask to the B*G decode batch ONCE here, as
-        # loop-invariant consts, instead of re-materialising ~1 GB of
-        # repeated activations inside every scanned round
+        # glimpse-folded decode inputs are ROUND-invariant conv1 partials
+        # (pyramid.py ``conv1_partials``) at batch B — the rounds convolve
+        # only the per-glimpse channels and broadcast-add the partials
+        # over the G glimpses, so no repeated skip pyramid (and none of
+        # its per-round layout copies) ever materialises in the loop
         const = {
             "score": score,
             "sem_mask": sem_mask.astype(jnp.float32),
             "feats": None,
-            "skips_rep": tuple(
-                jnp.repeat(st, G, axis=0) for st in skips_t
-            ),
-            "sem_rep": jnp.repeat(sem_mask, G, axis=0).astype(jnp.float32),
+            "partials": tuple(skips_t),
             "min_pixels": min_pixels,
             "max_count": max_count,
             "max_misses": max_misses,

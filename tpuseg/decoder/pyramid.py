@@ -68,16 +68,14 @@ def skip_transform_shapes(
     return shapes
 
 
-def point_position_planes(
+def point_level_code(
     point_flat: jnp.ndarray, full_hw: Tuple[int, int], level_hw: Tuple[int, int]
-) -> jnp.ndarray:
-    """Build the (B, h, w, 2N+1) glimpse-position planes for one level.
-
-    Channel layout matches the reference (utils.py:1027-1036): channels
-    0..2N-1 hold the binary code of the sub-pixel offset (row bits then
-    col bits, MSB first) written at the level-resolution point pixel;
-    channel 2N is the one-hot point indicator.
-    """
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """(row_l, col_l, code): level-resolution point coordinates and the
+    (B, 2N+1) per-sample channel code of the position planes — the planes
+    are ``one_hot(row_l, col_l) ⊗ code``, so consumers that are linear in
+    the planes (conv1) can scatter ``code @ W`` at one pixel instead of
+    materialising B×h×w×(2N+1) activations (pyramid ``call_split``)."""
     H, W = full_hw
     h, w = level_hw
     f = H // h
@@ -88,12 +86,6 @@ def point_position_planes(
     row_l, col_l = row // f, col // f
     row_r, col_r = row % f, col % f
 
-    yy = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
-    xx = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
-    onehot = (
-        (yy[None] == row_l[:, None, None]) & (xx[None] == col_l[:, None, None])
-    ).astype(jnp.float32)  # (B, h, w)
-
     vals = []
     for t in range(n_bits):
         vals.append(((row_r >> (n_bits - 1 - t)) & 1).astype(jnp.float32))
@@ -101,6 +93,26 @@ def point_position_planes(
         vals.append(((col_r >> (n_bits - 1 - t)) & 1).astype(jnp.float32))
     vals.append(jnp.ones((b,), jnp.float32))
     code = jnp.stack(vals, axis=-1)  # (B, 2N+1)
+    return row_l, col_l, code
+
+
+def point_position_planes(
+    point_flat: jnp.ndarray, full_hw: Tuple[int, int], level_hw: Tuple[int, int]
+) -> jnp.ndarray:
+    """Build the (B, h, w, 2N+1) glimpse-position planes for one level.
+
+    Channel layout matches the reference (utils.py:1027-1036): channels
+    0..2N-1 hold the binary code of the sub-pixel offset (row bits then
+    col bits, MSB first) written at the level-resolution point pixel;
+    channel 2N is the one-hot point indicator.
+    """
+    h, w = level_hw
+    row_l, col_l, code = point_level_code(point_flat, full_hw, level_hw)
+    yy = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
+    xx = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
+    onehot = (
+        (yy[None] == row_l[:, None, None]) & (xx[None] == col_l[:, None, None])
+    ).astype(jnp.float32)  # (B, h, w)
     return onehot[..., None] * code[:, None, None, :]
 
 
@@ -161,6 +173,110 @@ class _UpAttenLevel(nn.Module):
         y = self.cross1(x_skip, train)
         y = self.drop(y, deterministic=not train)
         return self.cross2(y, train)
+
+    # ----- split conv1: glimpse-independent partial + per-round rest -----
+    #
+    # ``conv1`` consumes concat([skip_t, x1u*gate, mask_all, pos]) — the
+    # skip and semantic-mask channels are glimpse/round-invariant while
+    # x1u and the position planes change per extraction round.  Since a
+    # 1x1 conv (+ eval-mode BN affine) is linear in its input channels,
+    # the invariant half is computed ONCE per image batch (B) and the
+    # per-round program only convolves the variable channels at the B*G
+    # decode batch, adding the partial back with a free broadcast over G.
+    # This removes the repeated skip pyramid from the round loop entirely
+    # (measured: ~37 ms/batch of repeat broadcasts + per-round layout
+    # copies at 256² B=32 G=4, see PERF.md).  Eval-only: BN running stats.
+
+    def _conv1_folded(self):
+        """conv1's (kernel (Cin, Cout), scale, shift) with eval-BN folded
+        to a per-output-channel affine."""
+        v = self.conv1.variables
+        k = v["params"]["Conv_0"]["kernel"][0, 0]
+        bnp = v["params"]["_BN_0"]["BatchNorm_0"]
+        bns = v["batch_stats"]["_BN_0"]["BatchNorm_0"]
+        scale = bnp["scale"] / jnp.sqrt(bns["var"] + 1e-5)
+        shift = bnp["bias"] - bns["mean"] * scale
+        return k, scale, shift
+
+    def _conv1_sections(self):
+        """(S, U): skip and x1u channel counts in the conv1 concat."""
+        n_extra = n_position_extra(
+            self.factor, self.use_mask, self.position_type
+        )
+        S = self.out_ch - n_extra
+        U = 0 if self.is_first else self.out_ch
+        return S, U
+
+    def conv1_const(self, skip_t, mask_all):
+        """Glimpse-independent conv1 partial: (B, h, w, out_ch), scale
+        and shift folded in (the variable half adds its scaled conv and
+        applies the relu)."""
+        k, scale, shift = self._conv1_folded()
+        S, U = self._conv1_sections()
+        kc = jnp.concatenate([k[:S], k[S + U : S + U + 1]], axis=0)
+        xc = jnp.concatenate(
+            [skip_t, mask_all.astype(skip_t.dtype)], axis=-1
+        )
+        part = jax.lax.dot_general(
+            xc, kc.astype(xc.dtype), (((3,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        part = part * scale + shift
+        return part.astype(self.dtype or part.dtype)
+
+    def call_split(self, x_prev, part, point_flat, mask_pre, group: int):
+        """Per-round half of the level given the ``conv1_const`` partial.
+
+        x_prev/mask_pre are at the folded B*G decode batch; ``part`` is at
+        B (broadcast over G here, fused by XLA into the add)."""
+        b = part.shape[0]
+        h, w = part.shape[1:3]
+        full = (h * self.factor, w * self.factor)
+        k, scale, shift = self._conv1_folded()
+        S, U = self._conv1_sections()
+
+        dt = self.dtype or part.dtype
+        bg = point_flat.shape[0]
+        # One dot over only the variable channels (x1u*gate + position
+        # planes), BN scale folded into the kernel columns, f32 MXU
+        # accumulation with a bf16 epilogue; the partial broadcast-add
+        # over G and the relu stay one elementwise fusion.  (Measured
+        # dead ends: f32 round-sized intermediates 82.8 -> 72.4 img/s;
+        # scatter-based rank-1 position update forces layout copies,
+        # 82.8 -> 74.0 — see PERF.md.)
+        pos = point_position_planes(point_flat, full, (h, w))
+        ks = scale[None, :]
+        x1u = None
+        if self.is_first:
+            x_in = pos.astype(dt)
+            kv = k[S + U + 1 :]
+        else:
+            x1u = self.up(x_prev)
+            gate = (
+                1.0 if mask_pre is None
+                else _prev_mask_gate(mask_pre, (h, w))
+            )
+            x_in = jnp.concatenate(
+                [(x1u * gate).astype(dt), pos.astype(dt)], axis=-1
+            )
+            kv = jnp.concatenate([k[S : S + U], k[S + U + 1 :]], axis=0)
+        # dt-out dot (XLA still accumulates f32 in the MXU for bf16
+        # operands); requesting an f32 output materialises a round-sized
+        # f32 copy instead (measured +20 ms/batch), and an f32 partial
+        # broadcast adds another +11 — keep the whole epilogue in dt
+        yv = jax.lax.dot_general(
+            x_in, (kv * ks).astype(dt), (((3,), (0,)), ((), ())),
+        )
+        x = nn.relu(
+            yv.reshape(b, group, h, w, self.out_ch) + part[:, None]
+        ).reshape(bg, h, w, self.out_ch)
+
+        x = self.dil1a(x, False)
+        x = self.dil1b(x, False)
+        if not self.is_first:
+            x = x + x1u
+        x = self.dil2a(x, False)
+        return self.dil2b(x, False)
 
     def __call__(self, x_prev, skip_t, point_flat, mask_pre, mask_all,
                  train: bool = False):
@@ -234,6 +350,36 @@ class AttenDecoder(nn.Module):
         return [
             lvl.transform_skip(s, train) for lvl, s in zip(self.levels, skips)
         ]
+
+    def conv1_partials(self, skips_t, sem_mask) -> List[jnp.ndarray]:
+        """Per-level glimpse-independent conv1 partials (eval-only).
+
+        skips_t: ``transform_skips`` outputs (coarse->fine) at batch B;
+        sem_mask: (B, H, W, 1).  The returned partials replace the skip
+        pyramid + semantic mask as the loop-invariant decode inputs — the
+        extraction rounds never touch the raw skips again."""
+        H = sem_mask.shape[1]
+        parts = []
+        for lvl, skip_t in zip(self.levels, skips_t):
+            f = H // skip_t.shape[1]
+            parts.append(lvl.conv1_const(skip_t, _maxpool(sem_mask, f)))
+        return parts
+
+    def decode_split(
+        self, point_flat, partials, group: int
+    ) -> List[jnp.ndarray]:
+        """Per-round pyramid decode from precomputed ``conv1_partials``
+        (eval-only).  point_flat is at the folded B*group decode batch;
+        partials stay at B.  Returns the 5 per-level 2-class logits."""
+        preds: List[jnp.ndarray] = []
+        x = None
+        prev_pred = None
+        for lvl, head, part in zip(self.levels, self.heads, partials):
+            x = lvl.call_split(x, part, point_flat, prev_pred, group)
+            pred_l = head(x)
+            preds.append(pred_l)
+            prev_pred = pred_l
+        return preds
 
     def decode(
         self, point_flat, skips_t, sem_mask, gold=None, anchorpro=None,
