@@ -97,10 +97,12 @@ def measure_tpu(cfg, model, variables, images) -> float:
 
 
 def measure_tpu_staged(cfg, model, variables, images) -> float:
-    """The production pred_list path: staged extraction dispatch (prep
-    program + rounds program sized by the count-head budget readback).
-    Preps for every batch are dispatched before the first readback so the
-    tunnel round-trips overlap device compute."""
+    """The production staged pred_list path: pipelined window dispatch
+    (predict_batches_staged) — prep for every batch, ONE budget readback
+    for the window, rounds programs sized to what each batch needs, ONE
+    done readback.  Through the tunnel each blocking sync costs ~0.1 s,
+    so the window amortization is what lets the 2.5x round savings
+    (3 needed vs the static 8 at the k=32 cap) reach the wall clock."""
     import jax.numpy as jnp
 
     from tpuseg.cli.common import load_stop_params
@@ -114,13 +116,12 @@ def measure_tpu_staged(cfg, model, variables, images) -> float:
     ]
     # warmup pass over EVERY batch: compiles prep + all rounds-program
     # lengths this workload needs, so the timed pass never compiles
-    for b in batches:
-        fg, idmap, counts = p._infer_staged(p.variables, b)
-    _ = np.asarray(fg), np.asarray(idmap), np.asarray(counts)
+    outs = p.predict_batches_staged(batches)
+    for fg, idmap, counts in outs:
+        _ = np.asarray(fg), np.asarray(idmap), np.asarray(counts)
 
     t0 = time.perf_counter()
-    preps = [p._infer_prep(p.variables, b) for b in batches]
-    outs = [p._extract_from_prep(pr) for pr in preps]
+    outs = p.predict_batches_staged(batches)
     for fg, idmap, counts in outs:
         _ = np.asarray(fg), np.asarray(idmap), np.asarray(counts)
     dt = time.perf_counter() - t0

@@ -108,3 +108,50 @@ def test_staged_no_count_head():
     _, _, id1, n1 = staged.predict_batch_arrays(imgs, with_probs=False)
     np.testing.assert_array_equal(np.asarray(id0), np.asarray(id1))
     np.testing.assert_array_equal(np.asarray(n0), np.asarray(n1))
+
+
+def test_pipelined_window_matches_monolithic():
+    """predict_batches_staged (window dispatch, concatenated readbacks)
+    must equal the monolithic program batch for batch."""
+    cfg, model, variables, imgs = _setup(seed=3)
+    rng = np.random.default_rng(7)
+    more = np.stack(
+        [make_scene(rng, 64, 64)[0] for _ in range(8)]
+    ).astype(np.uint8)
+    batches_np = [imgs, more[:4], more[4:]]
+
+    plain = Predictor(cfg, model, variables, batch_size=4, staged=False)
+    staged = Predictor(cfg, model, variables, batch_size=4, staged=True)
+
+    outs = staged.predict_batches_staged([jnp.asarray(b) for b in batches_np])
+    assert len(outs) == 3
+    for b, (fg1, id1, n1) in zip(batches_np, outs):
+        _, fg0, id0, n0 = plain.predict_batch_arrays(b, with_probs=False)
+        np.testing.assert_array_equal(np.asarray(fg0), np.asarray(fg1))
+        np.testing.assert_array_equal(np.asarray(id0), np.asarray(id1))
+        np.testing.assert_array_equal(np.asarray(n0), np.asarray(n1))
+
+
+def test_predict_paths_windowed(tmp_path):
+    """The windowed staged predict_paths yields the same per-image results
+    as the monolithic path, across a window boundary."""
+    from PIL import Image as PILImage
+
+    cfg, model, variables, imgs = _setup(seed=4)
+    rng = np.random.default_rng(11)
+    paths = []
+    for i in range(10):  # batch_size=4 -> 3 chunks, window=2 -> 2 groups
+        arr = make_scene(rng, 64, 64)[0].astype(np.uint8)
+        p = tmp_path / f"img_{i}.png"
+        PILImage.fromarray(arr).save(p)
+        paths.append(str(p))
+
+    plain = Predictor(cfg, model, variables, batch_size=4, staged=False)
+    staged = Predictor(cfg, model, variables, batch_size=4, staged=True)
+    r0 = list(plain.predict_paths(paths))
+    r1 = list(staged.predict_paths(paths, window=2))
+    assert [r["path"] for r in r0] == [r["path"] for r in r1]
+    for a, b in zip(r0, r1):
+        np.testing.assert_array_equal(a["fg_mask"], b["fg_mask"])
+        np.testing.assert_array_equal(a["ins_mask"], b["ins_mask"])
+        assert a["n_objects"] == b["n_objects"]

@@ -223,6 +223,69 @@ class Predictor:
             n = cont_rounds
         return fg, idmap, counts
 
+    def predict_batches_staged(self, xs: Sequence[jnp.ndarray]):
+        """Pipelined staged dispatch over a WINDOW of batches.
+
+        The per-batch staged driver (``_extract_from_prep``) blocks twice
+        per batch on tiny readbacks (budget, done); through the tunnelled
+        backend each blocking sync costs ~0.1 s, which is why staged lost
+        to the monolithic program per batch (PERF.md).  Here every
+        readback is ONE concatenated transfer for the whole window:
+
+          1. dispatch prep for every batch (async)
+          2. one sync: the stacked budget vectors -> per-batch round count
+          3. dispatch every batch's rounds program (async)
+          4. one sync: the stacked all-done flags; batches that still have
+             live samples get device-resident continuation chunks
+          5. caller drains the outputs
+
+        Typical 256-sq batches need ceil(max_count/G)=3 rounds vs the
+        static path's ceil(32/4)=8, so the extraction compute drops ~2.5x
+        while the sync cost is paid per window.  Results are EXACTLY the
+        static path's (same rounds program + carry as _extract_from_prep;
+        tests/test_staged_extraction.py).
+
+        Returns a list of (fg, idmap, counts) device-array triples."""
+        cfg = self.cfg
+        G = max(int(cfg.decoder.extract_group), 1)
+        k_static = self.max_instances or cfg.data.max_n_objects
+        max_rounds = -(-k_static // G)
+        cont_rounds = 2
+        dec_vars = self._decoder_variables()
+
+        preps = [self._infer_prep(self.variables, x) for x in xs]
+        # one host readback for the whole window (budgets share (B,))
+        budgets = np.asarray(jnp.stack([pr[2] for pr in preps]))
+        states = []
+        for pr, bud in zip(preps, budgets):
+            need = int(bud.max())
+            states.append({
+                "prep": pr, "carry": None, "used": 0, "out": None,
+                "n": min(max(-(-need // G), 1), max_rounds),
+            })
+        live = list(range(len(states)))
+        while live:
+            for i in live:
+                st = states[i]
+                fg, sem_mask, budget, score, skips_t = st["prep"]
+                step_n = min(st["n"], max_rounds - st["used"])
+                idmap, counts, carry = self._rounds_fn(step_n)(
+                    dec_vars, sem_mask, score, skips_t, budget, st["carry"]
+                )
+                st["out"] = (fg, idmap, counts)
+                st["carry"] = carry
+                st["used"] += step_n
+                st["n"] = cont_rounds
+            still = [i for i in live if states[i]["used"] < max_rounds]
+            if not still:
+                break
+            # one sync for every batch's all-done flag
+            dones = np.asarray(jnp.stack(
+                [jnp.all(states[i]["carry"]["done"]) for i in still]
+            ))
+            live = [i for i, d in zip(still, dones) if not bool(d)]
+        return [st["out"] for st in states]
+
     # ------------------------------------------------------------------
     def _load(self, path: str) -> Tuple[np.ndarray, np.ndarray, Tuple[int, int]]:
         img = Image.open(path).convert("RGB")
@@ -255,33 +318,52 @@ class Predictor:
             fg, idmap, counts = self._infer(self.variables, x)
         return None, fg, idmap, counts
 
-    def predict_paths(self, paths: Sequence[str]) -> Iterator[Dict]:
+    def predict_paths(
+        self, paths: Sequence[str], window: int = 8
+    ) -> Iterator[Dict]:
         """Yields per image: dict(image, fg_mask (native res, {0,1} uint8),
-        ins_mask (native res, int ids), n_objects)."""
+        ins_mask (native res, int ids), n_objects).
+
+        Staged mode processes ``window`` batches per pipelined dispatch
+        (predict_batches_staged) so the tunnel syncs amortize over the
+        window; monolithic mode keeps the one-program-per-batch path."""
         n = len(paths)
         bs = self.batch_size
-        for start in range(0, n, bs):
-            chunk = list(paths[start : start + bs])
-            n_valid = len(chunk)
-            while len(chunk) < bs:
-                chunk.append(chunk[-1])
-            raws, resized, sizes = zip(*[self._load(p) for p in chunk])
-            _, fg, idmap, counts = self.predict_batch_arrays(
-                np.stack(resized), with_probs=False
-            )
-            fg = np.asarray(fg)
-            idmap = np.asarray(idmap)
-            counts = np.asarray(counts)
-            for i in range(n_valid):
-                yield {
-                    "path": chunk[i],
-                    "image": raws[i],
-                    "fg_mask": self._upsample_nearest(fg[i], sizes[i]),
-                    "ins_mask": self._upsample_nearest(
-                        idmap[i].astype(np.int32), sizes[i]
-                    ).astype(np.uint8),
-                    "n_objects": int(counts[i]),
-                }
+        starts = list(range(0, n, bs))
+        win = window if (self.staged and self.mesh is None) else 1
+        for ws in range(0, len(starts), win):
+            metas, xs = [], []
+            for start in starts[ws : ws + win]:
+                chunk = list(paths[start : start + bs])
+                n_valid = len(chunk)
+                while len(chunk) < bs:
+                    chunk.append(chunk[-1])
+                raws, resized, sizes = zip(*[self._load(p) for p in chunk])
+                metas.append((chunk, raws, sizes, n_valid))
+                xs.append(jnp.asarray(np.stack(resized)))
+            if win > 1:
+                outs = self.predict_batches_staged(xs)
+            else:
+                outs = [
+                    self.predict_batch_arrays(x, with_probs=False)[1:]
+                    for x in xs
+                ]
+            for (chunk, raws, sizes, n_valid), (fg, idmap, counts) in zip(
+                metas, outs
+            ):
+                fg = np.asarray(fg)
+                idmap = np.asarray(idmap)
+                counts = np.asarray(counts)
+                for i in range(n_valid):
+                    yield {
+                        "path": chunk[i],
+                        "image": raws[i],
+                        "fg_mask": self._upsample_nearest(fg[i], sizes[i]),
+                        "ins_mask": self._upsample_nearest(
+                            idmap[i].astype(np.int32), sizes[i]
+                        ).astype(np.uint8),
+                        "n_objects": int(counts[i]),
+                    }
 
     # ---------------- mixed-resolution bucketed inference ----------------
 
