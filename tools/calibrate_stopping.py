@@ -45,6 +45,9 @@ def main():
     ap.add_argument("--cpu", action="store_true",
                     help="force local CPU (smoke test)")
     ap.add_argument("--out", default="CALIBRATION.md")
+    ap.add_argument("--grid-frac", default="0.006,0.012,0.024")
+    ap.add_argument("--grid-miss", default="2,3")
+    ap.add_argument("--grid-sup", default="0.0,0.5,0.7,0.9,1.1")
     ap.add_argument("--no-install", action="store_true",
                     help="report only; do not write assets/stop_params.json"
                          " (use for comparing non-installed checkpoints)")
@@ -113,13 +116,20 @@ def main():
             (p._infer_prep(p.variables, jnp.asarray(chunk)), len(imgs[s : s + args.batch]))
         )
 
-    grid_frac = [0.0005, 0.001, 0.003, 0.006, 0.012]
-    grid_miss = [1, 2, 3, 5]
+    # r3 grid: the r2 sweep localized the stopping optimum around
+    # (0.012, 2); the third axis is the peak-suppression factor
+    # (decoder/instance.py sel_radius — 0 = legacy tiny disk)
+    grid_frac = [float(x) for x in args.grid_frac.split(",")]
+    grid_miss = [int(x) for x in args.grid_miss.split(",")]
+    grid_sup = [float(x) for x in args.grid_sup.split(",")]
     rows = []
     rounds1 = p._rounds_fn(1)
-    for min_frac, max_misses in itertools.product(grid_frac, grid_miss):
+    for min_frac, max_misses, sup in itertools.product(
+        grid_frac, grid_miss, grid_sup
+    ):
         sp = (jnp.asarray(min_frac, jnp.float32),
-              jnp.asarray(max_misses, jnp.int32))
+              jnp.asarray(max_misses, jnp.int32),
+              jnp.asarray(sup, jnp.float32))
         pred_ids, pred_ns, rounds_used = [], [], []
         t0 = time.time()
         for (fg, sem_mask, budget, score, skips_t), n_valid in preps:
@@ -148,6 +158,7 @@ def main():
         score_v = sbd - args.dic_weight * dic
         rows.append({
             "min_frac": min_frac, "max_misses": max_misses,
+            "suppress": sup,
             "sbd": round(sbd, 4), "abs_dic": round(dic, 4),
             "score": round(score_v, 4),
             "rounds_to_done": round(float(np.mean(rounds_used)), 2),
@@ -166,15 +177,18 @@ def main():
             "once; each config re-runs only the round scan with runtime "
             "stop scalars).  Score = SBD - "
             f"{args.dic_weight}*|DiC|.\n\n"
-            "| min_frac | max_misses | SBD | abs DiC | score | rounds |\n"
-            "|---|---|---|---|---|---|\n"
+            "| min_frac | max_misses | suppress | SBD | abs DiC | score "
+            "| rounds |\n"
+            "|---|---|---|---|---|---|---|\n"
             + "\n".join(
-                f"| {r['min_frac']} | {r['max_misses']} | {r['sbd']} |"
-                f" {r['abs_dic']} | {r['score']} | {r['rounds_to_done']} |"
+                f"| {r['min_frac']} | {r['max_misses']} | {r['suppress']} |"
+                f" {r['sbd']} | {r['abs_dic']} | {r['score']} |"
+                f" {r['rounds_to_done']} |"
                 for r in rows
             )
             + f"\n\nBest: min_frac={best['min_frac']}, "
-            f"max_misses={best['max_misses']} "
+            f"max_misses={best['max_misses']}, "
+            f"suppress={best['suppress']} "
             f"(SBD {best['sbd']}, |DiC| {best['abs_dic']}).\n"
         )
     if not args.no_install:
@@ -182,6 +196,7 @@ def main():
             json.dump(
                 {"min_remaining_frac": best["min_frac"],
                  "max_extract_misses": best["max_misses"],
+                 "peak_suppress_factor": best["suppress"],
                  "calibrated_on": f"hard{args.n}@{args.res} seed{args.seed}",
                  "ckpt": args.ckpt,
                  "sbd": best["sbd"], "abs_dic": best["abs_dic"]},

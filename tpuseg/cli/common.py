@@ -113,12 +113,12 @@ def _read_stored(model_path: str):
 def adapt_cfg_to_checkpoint(cfg: Config, model_path: str) -> Config:
     """Disable heads the checkpoint never trained.
 
-    A fresh-init count head emits a constant arbitrary count that would cap
-    extraction (the budget is ``argmax(count_logits)``), so inference must
-    only trust it when the checkpoint actually contains it.  Works on
-    .msgpack files and orbax checkpoint dirs."""
+    A fresh-init count/density head emits an arbitrary count that would
+    cap extraction (the budget comes from the head), so inference must
+    only trust heads the checkpoint actually contains.  Works on .msgpack
+    files and orbax checkpoint dirs."""
     if not (
-        cfg.model.use_count_head
+        (cfg.model.use_count_head or cfg.model.use_density_head)
         and model_path
         and os.path.exists(model_path)
     ):
@@ -131,10 +131,16 @@ def adapt_cfg_to_checkpoint(cfg: Config, model_path: str) -> Config:
         print(f"  [load] could not inspect {model_path}: {e!r}")
         return cfg
     params = stored.get("params", {}) if isinstance(stored, dict) else {}
-    if "count_head" not in params:
+    updates = {}
+    if cfg.model.use_count_head and "count_head" not in params:
         print("  [load] checkpoint has no count_head — head disabled")
+        updates["use_count_head"] = False
+    if cfg.model.use_density_head and "density_head" not in params:
+        print("  [load] checkpoint has no density_head — head disabled")
+        updates["use_density_head"] = False
+    if updates:
         return dataclasses.replace(
-            cfg, model=dataclasses.replace(cfg.model, use_count_head=False)
+            cfg, model=dataclasses.replace(cfg.model, **updates)
         )
     return cfg
 
@@ -155,10 +161,12 @@ def load_variables(cfg: Config, model: ReSeg, model_path: str = "", seed: int = 
     return _merge_restore(dict(variables), stored)
 
 
-def load_stop_params(path: str = "") -> Optional[Tuple[float, int]]:
+def load_stop_params(path: str = "") -> Optional[Tuple]:
     """Calibrated extraction stopping rule, if tools/calibrate_stopping.py
     has produced one (assets/stop_params.json next to the repo root).
-    Returns (min_remaining_frac, max_extract_misses) or None."""
+    Returns (min_remaining_frac, max_extract_misses) or, when the file
+    carries the r3 peak-suppression calibration, the 3-tuple
+    (min_remaining_frac, max_extract_misses, peak_suppress_factor)."""
     import json
 
     if not path:
@@ -171,9 +179,12 @@ def load_stop_params(path: str = "") -> Optional[Tuple[float, int]]:
     try:
         with open(path) as f:
             d = json.load(f)
-        return (
+        base = (
             float(d["min_remaining_frac"]), int(d["max_extract_misses"])
         )
+        if "peak_suppress_factor" in d:
+            return base + (float(d["peak_suppress_factor"]),)
+        return base
     except (ValueError, KeyError, OSError):
         return None
 

@@ -108,6 +108,15 @@ class DecoderConfig:
     # instance inference crashes, see SURVEY.md quirk #2): stop emitting
     # instances once the remaining foreground fraction drops below this.
     min_remaining_frac: float = 0.003
+    # Peak-selection suppression radius as a fraction of the estimated
+    # instance radius sqrt(fg_px / budget / pi).  0 = legacy behavior
+    # (radius sqrt(min_pixels)): measured on the bench workload the tiny
+    # legacy disk lets 2 of the 4 glimpses of a round land on the SAME
+    # leaf, so rounds emit ~2 instances instead of 4 and extraction drags
+    # to 6-7 rounds.  The miss-carve disk keeps the small radius (progress
+    # guarantee).  Runtime-overridable via stop_params like the stopping
+    # rule (tools/calibrate_stopping.py).
+    peak_suppress_factor: float = 0.0
     # consecutive degenerate glimpses tolerated before a sample's
     # extraction stops (each miss suppresses a small disk and retries)
     max_extract_misses: int = 3
@@ -162,6 +171,13 @@ class ModelConfig:
     # data.max_n_objects) so checkpoints transfer across resolutions and
     # instance caps, like the conv weights do.
     count_classes: int = 33
+    # Density-regression counting head (the strong counting architecture
+    # for leaf counting: predict a per-pixel density whose integral is
+    # the instance count; each GT instance contributes unit mass).  When
+    # present it supersedes the classifier head as the extraction-budget
+    # source; disabled automatically for checkpoints that never trained
+    # it (cli/common.adapt_cfg_to_checkpoint).
+    use_density_head: bool = True
     # Discriminative-loss capability knobs (model_settings.py:23-25).
     delta_var: float = 0.5
     delta_dist: float = 1.5
@@ -184,6 +200,12 @@ class TrainConfig:
     optimize_bg: bool = False
     # weight of the count-head CE term (new capability, no reference analogue)
     lambda_count: float = 1.0
+    # weight of the density-head loss (scaled MSE + count consistency).
+    # Small by design: the head is isolated behind stop_gradient but its
+    # loss still shares the global grad-norm clip with the decoder terms;
+    # the dedicated head trainer (tools/train_density.py) uses its own
+    # unscaled objective.
+    lambda_density: float = 0.02
     train_cnn: bool = True
     seed: int = 23  # training_settings.py:53
     n_workers: int = 2
