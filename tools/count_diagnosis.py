@@ -68,12 +68,9 @@ def main():
     model = build_model(cfg, dtype=jnp.bfloat16 if args.bf16 else None)
     variables = load_variables(cfg, model, args.ckpt)
 
-    sp = None
-    sp_path = os.path.join("assets", "stop_params.json")
-    if os.path.exists(sp_path):
-        with open(sp_path) as f:
-            d = json.load(f)
-        sp = (d["min_remaining_frac"], d["max_extract_misses"])
+    from tpuseg.cli.common import load_stop_params
+
+    sp = load_stop_params()
     print(f"stop_params: {sp}")
 
     rng = np.random.default_rng(args.seed)

@@ -90,6 +90,74 @@ class _CountHead(nn.Module):
         return nn.Dense(self.n_classes, dtype=jnp.float32)(y)
 
 
+# GT density values are ~1/instance_area (1e-4..1e-3); scaling both the
+# target and the head's output keeps the regression in a well-conditioned
+# range.  count = sum(density) / DENSITY_SCALE.
+DENSITY_SCALE = 256.0
+
+
+class _DensityHead(nn.Module):
+    """Density-regression counting head (per-pixel density, unit mass per
+    GT instance; count = integral of the map).
+
+    Density regression is the standard strong architecture for leaf
+    counting — a globally-pooled classifier (``_CountHead``) has to count
+    through one average vector, while the density integral accumulates
+    evidence per instance.  Operates at 1/4 resolution on the UNet
+    1/4+1/8 skip scales (a full-res head's 5-px receptive field cannot
+    see a 40-px leaf; the mid scales can) behind a ``stop_gradient`` so
+    the head trains without perturbing the segmentation backbone (the
+    reference hardcodes ``n_objects_prediction = 16``, model.py:496 —
+    there is no analogue).
+    """
+
+    hidden: int = 128
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, skips):
+        # skips[2] = 1/4 res, skips[3] = 1/8 res (both UNet skip layouts)
+        x3 = jax.lax.stop_gradient(skips[2])
+        x4 = jax.lax.stop_gradient(skips[3])
+        x4u = jnp.repeat(jnp.repeat(x4, 2, axis=1), 2, axis=2)
+        y = jnp.concatenate([x3, x4u], axis=-1)
+        y = nn.Conv(self.hidden, (3, 3), padding=1, dtype=self.dtype)(y)
+        y = nn.relu(y)
+        y = nn.Conv(self.hidden // 2, (3, 3), padding=1, dtype=self.dtype)(y)
+        y = nn.relu(y)
+        y = nn.Conv(1, (1, 1), dtype=jnp.float32)(y)
+        # scaled density >= 0 at 1/4 res; the integral is scale-free
+        return jax.nn.softplus(y.astype(jnp.float32))
+
+
+def pool_density(gt: jnp.ndarray, dh: int, dw: int) -> jnp.ndarray:
+    """Mass-preserving sum-pool of a (B,H,W,1) density map onto the head's
+    (dh, dw) grid."""
+    b, h, w, _ = gt.shape
+    fh, fw = h // dh, w // dw
+    return gt.reshape(b, dh, fh, dw, fw, 1).sum(axis=(2, 4))
+
+
+def density_target(ins_target, n_objects):
+    """(B,H,W,N) instance masks + (B,) counts -> (B,H,W,1) scaled GT
+    density: each valid instance's mask normalized to unit mass."""
+    masks = ins_target.astype(jnp.float32)
+    areas = jnp.sum(masks, axis=(1, 2))                       # (B, N)
+    n_slots = masks.shape[-1]
+    valid = (
+        jnp.arange(n_slots)[None, :] < n_objects[:, None]
+    ) & (areas > 0)
+    w = jnp.where(valid, DENSITY_SCALE / jnp.maximum(areas, 1.0), 0.0)
+    return jnp.einsum("bhwn,bn->bhw", masks, w)[..., None]
+
+
+def density_count(density):
+    """(B,H,W,1) scaled density map -> (B,) rounded count estimate."""
+    return jnp.round(
+        jnp.sum(density.astype(jnp.float32), axis=(1, 2, 3)) / DENSITY_SCALE
+    ).astype(jnp.int32)
+
+
 class ReSeg(nn.Module):
     cfg: Config
     dtype: Optional[jnp.dtype] = None
@@ -150,6 +218,17 @@ class ReSeg(nn.Module):
                 n_classes=cfg.model.count_classes, dtype=self.dtype,
                 name="count_head",
             )(skips[-1])
+        density = None
+        if cfg.model.use_density_head:
+            density = _DensityHead(dtype=self.dtype, name="density_head")(
+                skips
+            )
+
+        if mode == "density":
+            # head-training / diagnosis path: backbone + density map only
+            # (no decoder pass — the REINFORCE glimpse loop is ~10x the
+            # backbone cost and irrelevant to the counting head)
+            return density
 
         if mode == "loss":
             # GT semantic argmax as the decoder mask whenever labels are
@@ -164,6 +243,29 @@ class ReSeg(nn.Module):
             )
             if count_logits is not None:
                 losses["count_logits"] = count_logits
+            if density is not None:
+                # loss computed here (ins_target lives in this scope):
+                # scaled-MSE on the map + smooth count consistency
+                gt = pool_density(
+                    density_target(ins_target, n_objects),
+                    density.shape[1], density.shape[2],
+                )
+                # npix/16 normalization keeps the map term at the
+                # full-res-head magnitude (1/4-res pixels carry 16x the
+                # mass); lambda_density further rebalances it against the
+                # decoder/semantic terms so a fresh-init head cannot eat
+                # the global grad-norm clip budget (observed: grad_norm
+                # 2e6 at init rescales EVERY other gradient to ~nothing)
+                losses["density_loss"] = jnp.mean(
+                    jnp.square(density - gt)
+                ) * float(gt.shape[1] * gt.shape[2] / 16.0)
+                est = (
+                    jnp.sum(density, axis=(1, 2, 3)) / DENSITY_SCALE
+                )
+                losses["density_count_loss"] = jnp.mean(
+                    jnp.square(est - n_objects.astype(jnp.float32))
+                )
+                losses["density_count"] = est
             return sem_logits, sem_mask, losses
 
         if mode == "embed":
@@ -172,11 +274,12 @@ class ReSeg(nn.Module):
             # count-head estimate standing in for the reference's
             # hardcoded ``n_objects=16`` (model.py:496)
             sem_probs = jax.nn.softmax(sem_logits, axis=-1)
-            n_est = (
-                jnp.argmax(count_logits, axis=-1).astype(jnp.int32)
-                if count_logits is not None
-                else jnp.full((images.shape[0],), 16, jnp.int32)
-            )
+            if density is not None:
+                n_est = density_count(density)
+            elif count_logits is not None:
+                n_est = jnp.argmax(count_logits, axis=-1).astype(jnp.int32)
+            else:
+                n_est = jnp.full((images.shape[0],), 16, jnp.int32)
             return sem_probs, x_enc, n_est
 
         if mode in ("infer", "infer_prep"):
@@ -186,7 +289,11 @@ class ReSeg(nn.Module):
             )
             k_cap = max_instances or cfg.data.max_n_objects
             count_budget = None
-            if count_logits is not None:
+            if density is not None:
+                # density integral supersedes the classifier as the
+                # extraction-budget source (stronger counting signal)
+                count_budget = jnp.clip(density_count(density), 1, k_cap)
+            elif count_logits is not None:
                 # the head's count caps the extraction budget per sample
                 count_budget = jnp.clip(
                     jnp.argmax(count_logits, axis=-1).astype(jnp.int32),

@@ -121,6 +121,20 @@ def make_optimizer(cfg: Config) -> optax.GradientTransformation:
     chain = [opt]
     if t.clip_grad_norm:
         chain.insert(0, optax.clip_by_global_norm(t.clip_grad_norm))
+        # Pre-clip the density head's own gradient to the same bound
+        # BEFORE the global clip: the map-regression loss produces
+        # gradients orders of magnitude above the decoder/semantic terms
+        # at init, and an unshielded global clip would rescale every
+        # OTHER gradient to ~nothing (observed grad_norm ~2e6 on a fresh
+        # head).  The head is stop_gradient-isolated, so this only
+        # affects its own learning rate, never the backbone's.
+        def _density_mask(params):
+            return {k: jax.tree.map(lambda _: k == "density_head", v)
+                    for k, v in params.items()}
+
+        chain.insert(0, optax.masked(
+            optax.clip_by_global_norm(t.clip_grad_norm), _density_mask
+        ))
     if not t.train_cnn:
         # Freeze the UNet backbone ('base' subtree) the way the reference's
         # requires_grad=False does (model.py:199-201): the frozen subtree

@@ -66,6 +66,20 @@ def total_cost(
                     - n_objects
                 ).astype(jnp.float32)
             )
+        if "density_loss" in dec_losses:
+            dl = (
+                dec_losses["density_loss"]
+                + 0.1 * dec_losses["density_count_loss"]
+            )
+            cost = cost + cfg.train.lambda_density * dl
+            metrics["density_loss"] = dl
+            if n_objects is not None:
+                metrics["density_err"] = jnp.mean(
+                    jnp.abs(
+                        jnp.round(dec_losses["density_count"])
+                        - n_objects.astype(jnp.float32)
+                    )
+                )
     crit = cfg.train.criterion
     n_classes = cfg.data.n_classes
     if crit in ("CE", "Multi"):
