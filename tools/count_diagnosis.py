@@ -37,6 +37,8 @@ def main():
     ap.add_argument("--seed", type=int, default=99)
     ap.add_argument("--bf16", action="store_true")
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--stop-params", default="",
+                    help="override: min_frac,max_misses[,suppress]")
     args = ap.parse_args()
     os.chdir(_REPO)
 
@@ -70,7 +72,11 @@ def main():
 
     from tpuseg.cli.common import load_stop_params
 
-    sp = load_stop_params()
+    if args.stop_params:
+        vals = [float(x) for x in args.stop_params.split(",")]
+        sp = (vals[0], int(vals[1]), *vals[2:])
+    else:
+        sp = load_stop_params()
     print(f"stop_params: {sp}")
 
     rng = np.random.default_rng(args.seed)

@@ -243,6 +243,51 @@ def main():
 
     if best is None:
         best = jax.device_get(head)
+
+    # ---- closed-form affine count calibration (folded into the head's
+    # out_gain/out_off params: integral' = a*integral + b) ----
+    def raw_ests(head_params, imgs):
+        ests = []
+        for s in range(0, len(imgs), args.batch):
+            chunk = imgs[s : s + args.batch]
+            nv = len(chunk)
+            if nv < args.batch:
+                chunk = np.concatenate([
+                    chunk, np.repeat(chunk[:1], args.batch - nv, axis=0)
+                ])
+            e = np.asarray(predict_counts(head_params, jnp.asarray(chunk)))
+            ests.append(e[:nv])
+        return np.concatenate(ests)
+
+    ests = raw_ests(best, vi)
+    A = np.stack([ests, np.ones_like(ests)], axis=1)
+    coef = np.linalg.lstsq(A, vc.astype(np.float64), rcond=None)[0]
+    a_fit, b_fit = float(coef[0]), float(coef[1])
+    # fine-tune the offset on the ROUNDED objective (exactness-aware)
+    best_b, best_obj = float(b_fit), 1e9
+    for db in np.linspace(-0.5, 0.5, 41):
+        r = np.round(a_fit * ests + b_fit + db)
+        obj = np.abs(r - vc).mean() - 0.01 * (r == vc).mean()
+        if obj < best_obj:
+            best_obj, best_b = obj, float(b_fit + db)
+    best["out_gain"] = np.asarray(best["out_gain"]) * a_fit
+    best["out_off"] = np.asarray(best["out_off"]) * a_fit + best_b
+    print(f"calibration: a={a_fit:.4f} b={best_b:+.3f}", flush=True)
+
+    # honest post-calibration numbers on a SECOND held-out set
+    ti, tl, tc = make_pool(
+        np.random.default_rng(1234), args.n_val, args.res, 16,
+        hard_frac=0.5, max_leaves=args.max_leaves,
+    )
+    del tl
+    for name, imgs_h, counts_h in (("val", vi, vc), ("holdout", ti, tc)):
+        e = np.round(raw_ests(best, imgs_h)).astype(int)
+        err = e - counts_h
+        print(f"calibrated {name}: MAE {np.abs(err).mean():.3f} exact "
+              f"{(err == 0).mean()*100:.0f}% within1 "
+              f"{(np.abs(err) <= 1).mean()*100:.0f}% bias {err.mean():+.2f}",
+              flush=True)
+
     payload = jax.device_get({
         "params": {**base_params, "density_head": best},
         **aux,

@@ -41,10 +41,17 @@ from tpuseg.runtime import create_train_state, make_train_step
 
 def evaluate_full(cfg, model, variables, ds, n, batch=16, max_ids=32):
     """Run the production extraction on n val samples; returns
-    dict(sbd, fg, dic, counts) — the selection metrics of this run."""
+    dict(sbd, fg, dic, counts) — the selection metrics of this run.
+    Uses the INSTALLED stopping calibration (assets/stop_params.json) so
+    checkpoint selection scores the same extraction the CLIs run."""
+    from tpuseg.cli.common import load_stop_params
+
+    sp = load_stop_params()
     collate = AlignCollate("test", cfg.data, batch)
     infer = jax.jit(
-        lambda v, x: model.apply(v, image_ex_standardize(x), mode="infer")
+        lambda v, x: model.apply(
+            v, image_ex_standardize(x), mode="infer", stop_params=sp
+        )
     )
     sbds, fgs, dics = [], [], []
     for start in range(0, n, batch):

@@ -127,7 +127,17 @@ class _DensityHead(nn.Module):
         y = nn.relu(y)
         y = nn.Conv(1, (1, 1), dtype=jnp.float32)(y)
         # scaled density >= 0 at 1/4 res; the integral is scale-free
-        return jax.nn.softplus(y.astype(jnp.float32))
+        dens = jax.nn.softplus(y.astype(jnp.float32))
+        # affine output calibration in COUNT units: integral of the
+        # returned map = gain * integral(dens) + off * DENSITY_SCALE.
+        # Trained like any param; tools/train_density.py also folds a
+        # closed-form post-fit (least squares on the val counts) into
+        # these two scalars, removing the head's systematic count bias
+        # without touching the map shape.
+        gain = self.param("out_gain", nn.initializers.ones, (1,))
+        off = self.param("out_off", nn.initializers.zeros, (1,))
+        b, h, w, _ = dens.shape
+        return dens * gain + off * (DENSITY_SCALE / float(h * w))
 
 
 def pool_density(gt: jnp.ndarray, dh: int, dw: int) -> jnp.ndarray:

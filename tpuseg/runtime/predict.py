@@ -41,6 +41,7 @@ class Predictor:
         max_instances: Optional[int] = None,
         staged: bool = False,
         stop_params: Optional[Tuple[float, int]] = None,
+        staged_margin: int = 1,
     ):
         self.cfg = cfg
         self.model = model
@@ -55,6 +56,7 @@ class Predictor:
             self.variables = replicate(variables, self.mesh)
         self.max_instances = max_instances
         self.staged = staged
+        self.staged_margin = staged_margin
         # stopping-rule override (tools/calibrate_stopping.py writes the
         # calibrated values to assets/stop_params.json); None = config
         # defaults.  Baked into the traced programs as constants.
@@ -261,7 +263,11 @@ class Predictor:
             need = int(bud.max())
             states.append({
                 "prep": pr, "carry": None, "used": 0, "out": None,
-                "n": min(max(-(-need // G), 1), max_rounds),
+                # +margin extra rounds in the first chunk: cheaper than a
+                # near-certain continuation round-trip when a couple of
+                # glimpses miss
+                "n": min(max(-(-need // G) + int(self.staged_margin), 1),
+                         max_rounds),
             })
         live = list(range(len(states)))
         while live:
