@@ -77,7 +77,9 @@ def measure_tpu(cfg, model, variables, images) -> float:
     # the tunnel is the bottleneck, not compute)
     p = Predictor(cfg, model, variables, batch_size=BATCH,
                   stop_params=load_stop_params())
-    infer = p._infer
+    from tpuseg.runtime.predict import unpack_masks
+
+    infer = p._infer_packed
 
     batches = [
         jnp.asarray(images[i : i + BATCH])
@@ -85,13 +87,14 @@ def measure_tpu(cfg, model, variables, images) -> float:
     ]
     # warmup / compile (np.asarray forces full materialisation — on the
     # tunnelled axon backend block_until_ready alone does not synchronise)
-    _ = np.asarray(infer(variables, batches[0])[2])
+    _ = np.asarray(infer(variables, batches[0])[1])
     t0 = time.perf_counter()
     # dispatch every batch asynchronously, then drain results — overlaps
-    # device compute with host transfers (the real pipeline does the same)
+    # device compute with host transfers (the real pipeline does the
+    # same, incl. the packed one-plane mask transfer + host unpack)
     outs = [infer(variables, b) for b in batches]
-    for fg, idmap, counts in outs:
-        _ = np.asarray(fg), np.asarray(idmap), np.asarray(counts)
+    for packed, counts in outs:
+        _ = unpack_masks(np.asarray(packed)), np.asarray(counts)
     dt = time.perf_counter() - t0
     return len(images) / dt
 
@@ -114,16 +117,18 @@ def measure_tpu_staged(cfg, model, variables, images) -> float:
         jnp.asarray(images[i : i + BATCH])
         for i in range(0, len(images), BATCH)
     ]
+    from tpuseg.runtime.predict import unpack_masks
+
     # warmup pass over EVERY batch: compiles prep + all rounds-program
     # lengths this workload needs, so the timed pass never compiles
-    outs = p.predict_batches_staged(batches)
-    for fg, idmap, counts in outs:
-        _ = np.asarray(fg), np.asarray(idmap), np.asarray(counts)
+    outs = p.predict_batches_staged(batches, packed=True)
+    for packed, counts in outs:
+        _ = unpack_masks(np.asarray(packed)), np.asarray(counts)
 
     t0 = time.perf_counter()
-    outs = p.predict_batches_staged(batches)
-    for fg, idmap, counts in outs:
-        _ = np.asarray(fg), np.asarray(idmap), np.asarray(counts)
+    outs = p.predict_batches_staged(batches, packed=True)
+    for packed, counts in outs:
+        _ = unpack_masks(np.asarray(packed)), np.asarray(counts)
     dt = time.perf_counter() - t0
     return len(images) / dt
 

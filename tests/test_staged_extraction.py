@@ -155,3 +155,27 @@ def test_predict_paths_windowed(tmp_path):
         np.testing.assert_array_equal(a["fg_mask"], b["fg_mask"])
         np.testing.assert_array_equal(a["ins_mask"], b["ins_mask"])
         assert a["n_objects"] == b["n_objects"]
+
+
+def test_packed_transfer_roundtrip():
+    """pack_masks/unpack_masks: the one-plane uint8 transfer must carry
+    exactly the (fg, idmap) pair of the unpacked path."""
+    from tpuseg.runtime.predict import unpack_masks
+
+    cfg, model, variables, imgs = _setup(seed=5)
+    p = Predictor(cfg, model, variables, batch_size=4, staged=False)
+    _, fg0, id0, n0 = p.predict_batch_arrays(imgs, with_probs=False)
+    packed, n1 = p.predict_batch_packed(imgs)
+    fg1, id1 = unpack_masks(np.asarray(packed))
+    np.testing.assert_array_equal(np.asarray(fg0), fg1)
+    np.testing.assert_array_equal(np.asarray(id0), id1)
+    np.testing.assert_array_equal(np.asarray(n0), np.asarray(n1))
+
+    staged = Predictor(cfg, model, variables, batch_size=4, staged=True)
+    (packed2, n2), = staged.predict_batches_staged(
+        [jnp.asarray(imgs)], packed=True
+    )
+    fg2, id2 = unpack_masks(np.asarray(packed2))
+    np.testing.assert_array_equal(np.asarray(fg0), fg2)
+    np.testing.assert_array_equal(np.asarray(id0), id2)
+    np.testing.assert_array_equal(np.asarray(n0), np.asarray(n2))

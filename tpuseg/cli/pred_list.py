@@ -92,11 +92,12 @@ def main(argv=None):
     staged = opt.staged
     if staged is None:
         # auto: OFF. Measured on the tunnelled chip (bench.py, B=32,
-        # calibrated stopping rule installed): staged 50.8 img/s vs
-        # monolithic 70.0 — the per-round `done` readback pays the
-        # ~26 ms tunnel round-trip every round, which outweighs the
-        # 2-3 rounds the early exit saves. Opt in with --staged on
-        # locally attached chips where dispatch latency is ~µs.
+        # r3 calibration installed): windowed staged 58-59 img/s vs
+        # monolithic 94-98 — each blocking sync through the tunnel costs
+        # ~0.1 s wall even with ONE concatenated budget readback and ONE
+        # done readback per 4-batch window, and the monolithic scan
+        # already skips late rounds via the all-done cond.  Opt in with
+        # --staged on locally attached chips where dispatch is ~µs.
         staged = False
     predictor = Predictor(
         cfg, model, variables, batch_size=opt.batchsize,

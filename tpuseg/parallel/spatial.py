@@ -78,7 +78,7 @@ def make_semantic_spatial(model, mesh: Mesh, axis_name: str = "data"):
 
 def make_infer_spatial(
     model, mesh: Mesh, axis_name: str = "data",
-    max_instances: Optional[int] = None,
+    max_instances: Optional[int] = None, stop_params=None,
 ):
     """Returns a jitted ``fn(variables, images_u8)`` running the FULL
     instance inference (semantic head + attention + iterative extraction
@@ -101,7 +101,8 @@ def make_infer_spatial(
     def fn(variables, images_u8):
         x = image_ex_standardize(images_u8)
         sem_probs, idmap, counts = model.apply(
-            variables, x, mode="infer", max_instances=max_instances
+            variables, x, mode="infer", max_instances=max_instances,
+            stop_params=stop_params,
         )
         sem_probs = jax.lax.with_sharding_constraint(sem_probs, out_sharding)
         idmap = jax.lax.with_sharding_constraint(idmap, out_sharding)

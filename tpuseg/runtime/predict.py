@@ -29,6 +29,21 @@ from tpuseg.data.colorspace import image_ex_standardize
 from tpuseg.parallel import make_mesh, shard_batch
 
 
+def pack_masks(fg: jnp.ndarray, idmap: jnp.ndarray) -> jnp.ndarray:
+    """Fuse the {0,1} foreground mask and the instance id map (ids < 128)
+    into ONE uint8 plane: ``idmap | fg << 7``.  The host link through the
+    tunnelled backend moves ~60 MB/s, so halving the per-batch mask
+    traffic is ~1 ms/img at 256²; the host unpacks with two numpy ops."""
+    return (
+        idmap.astype(jnp.uint8) | (fg.astype(jnp.uint8) << 7)
+    )
+
+
+def unpack_masks(packed: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    """Host-side inverse of :func:`pack_masks`."""
+    return (packed >> 7).astype(np.uint8), (packed & 0x7F).astype(np.uint8)
+
+
 class Predictor:
     def __init__(
         self,
@@ -105,6 +120,17 @@ class Predictor:
             return fg, idmap.astype(jnp.uint8), counts.astype(jnp.int32)
 
         self._infer = _infer
+
+        @jax.jit
+        def _infer_packed(variables, images_u8):
+            """One-plane output: fg and idmap packed into a single uint8
+            transfer (pack_masks) — the host link is the bottleneck."""
+            sem_probs, idmap, counts = _infer_full(variables, images_u8)
+            fg = jnp.argmax(sem_probs, axis=-1)
+            return pack_masks(fg, idmap), counts.astype(jnp.int32)
+
+        self._infer_packed = _infer_packed
+        self._pack = jax.jit(pack_masks)
 
         @jax.jit
         def _infer_with_probs(variables, images_u8):
@@ -225,7 +251,9 @@ class Predictor:
             n = cont_rounds
         return fg, idmap, counts
 
-    def predict_batches_staged(self, xs: Sequence[jnp.ndarray]):
+    def predict_batches_staged(
+        self, xs: Sequence[jnp.ndarray], packed: bool = False
+    ):
         """Pipelined staged dispatch over a WINDOW of batches.
 
         The per-batch staged driver (``_extract_from_prep``) blocks twice
@@ -247,7 +275,9 @@ class Predictor:
         static path's (same rounds program + carry as _extract_from_prep;
         tests/test_staged_extraction.py).
 
-        Returns a list of (fg, idmap, counts) device-array triples."""
+        Returns a list of (fg, idmap, counts) device-array triples; with
+        ``packed=True`` a list of (packed_u8, counts) pairs instead (one
+        mask transfer per batch, see pack_masks)."""
         cfg = self.cfg
         G = max(int(cfg.decoder.extract_group), 1)
         k_static = self.max_instances or cfg.data.max_n_objects
@@ -290,6 +320,11 @@ class Predictor:
                 [jnp.all(states[i]["carry"]["done"]) for i in still]
             ))
             live = [i for i, d in zip(still, dones) if not bool(d)]
+        if packed:
+            return [
+                (self._pack(st["out"][0], st["out"][1]), st["out"][2])
+                for st in states
+            ]
         return [st["out"] for st in states]
 
     # ------------------------------------------------------------------
@@ -324,6 +359,18 @@ class Predictor:
             fg, idmap, counts = self._infer(self.variables, x)
         return None, fg, idmap, counts
 
+    def predict_batch_packed(self, images_u8: np.ndarray):
+        """(packed_u8, counts) device arrays — ONE mask plane per batch
+        (pack_masks) for transfer-bound pipelines; host side splits with
+        unpack_masks."""
+        x = jnp.asarray(images_u8)
+        if self.mesh is not None:
+            x = shard_batch(x, self.mesh)
+        if self.staged:
+            fg, idmap, counts = self._infer_staged(self.variables, x)
+            return self._pack(fg, idmap), counts
+        return self._infer_packed(self.variables, x)
+
     def predict_paths(
         self, paths: Sequence[str], window: int = 8
     ) -> Iterator[Dict]:
@@ -348,17 +395,13 @@ class Predictor:
                 metas.append((chunk, raws, sizes, n_valid))
                 xs.append(jnp.asarray(np.stack(resized)))
             if win > 1:
-                outs = self.predict_batches_staged(xs)
+                outs = self.predict_batches_staged(xs, packed=True)
             else:
-                outs = [
-                    self.predict_batch_arrays(x, with_probs=False)[1:]
-                    for x in xs
-                ]
-            for (chunk, raws, sizes, n_valid), (fg, idmap, counts) in zip(
+                outs = [self.predict_batch_packed(x) for x in xs]
+            for (chunk, raws, sizes, n_valid), (packed, counts) in zip(
                 metas, outs
             ):
-                fg = np.asarray(fg)
-                idmap = np.asarray(idmap)
+                fg, idmap = unpack_masks(np.asarray(packed))
                 counts = np.asarray(counts)
                 for i in range(n_valid):
                     yield {
@@ -425,11 +468,8 @@ class Predictor:
                                                         Image.BILINEAR)
                         )
                     canvas[j, :sh, :sw] = img[:sh, :sw]
-                _, fg, idmap, counts = self.predict_batch_arrays(
-                    canvas, with_probs=False
-                )
-                fg = np.asarray(fg)
-                idmap = np.asarray(idmap)
+                packed, counts = self.predict_batch_packed(canvas)
+                fg, idmap = unpack_masks(np.asarray(packed))
                 counts = np.asarray(counts)
                 for j, (i, p, img, (h, w), _) in enumerate(chunk):
                     fg_j = fg[j, : min(h, bh), : min(w, bw)]
