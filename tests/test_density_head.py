@@ -139,3 +139,37 @@ def test_adapt_cfg_disables_missing_density_head(tmp_path):
     adapted = adapt_cfg_to_checkpoint(cfg2, path)
     assert not adapted.model.use_density_head
     assert not adapted.model.use_count_head
+
+
+def test_stop_scalars_backcompat():
+    """2-tuple stop_params (pre-r3 stop_params.json) keep the config's
+    suppression factor; 3-tuples carry their own."""
+    import dataclasses as dc
+
+    from tpuseg.configs import cvppp_config
+    from tpuseg.decoder.instance import InstanceDecoder
+
+    dec_cfg = dc.replace(cvppp_config().decoder, peak_suppress_factor=0.7)
+    mf, mm, sup = InstanceDecoder._stop_scalars(dec_cfg, None)
+    assert np.isclose(float(sup), 0.7)
+    mf, mm, sup = InstanceDecoder._stop_scalars(dec_cfg, (0.01, 2))
+    assert np.isclose(float(mf), 0.01) and int(mm) == 2
+    assert np.isclose(float(sup), 0.7)
+    mf, mm, sup = InstanceDecoder._stop_scalars(dec_cfg, (0.01, 2, 1.5))
+    assert np.isclose(float(mf), 0.01) and int(mm) == 2
+    assert float(sup) == 1.5
+
+
+def test_load_stop_params_three_tuple(tmp_path):
+    import json
+
+    from tpuseg.cli.common import load_stop_params
+
+    p2 = tmp_path / "sp2.json"
+    json.dump({"min_remaining_frac": 0.01, "max_extract_misses": 2},
+              open(p2, "w"))
+    assert load_stop_params(str(p2)) == (0.01, 2)
+    p3 = tmp_path / "sp3.json"
+    json.dump({"min_remaining_frac": 0.01, "max_extract_misses": 2,
+               "peak_suppress_factor": 1.3}, open(p3, "w"))
+    assert load_stop_params(str(p3)) == (0.01, 2, 1.3)
