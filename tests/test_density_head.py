@@ -14,7 +14,9 @@ import numpy as np
 
 from tpuseg.cli.common import build_model, init_variables
 from tpuseg.configs import cvppp_config
-from tpuseg.models.reseg import DENSITY_SCALE, density_count, density_target
+from tpuseg.models.reseg import (
+    DENSITY_SCALE, density_count, density_target, pool_density,
+)
 
 
 def _cfg(res=64, max_n=8, density=True, count=True):
@@ -105,7 +107,7 @@ def test_density_head_gradient_isolation():
             {**variables, "params": params}, imgs, train=False,
             mode="density",
         )
-        gt = density_target(masks, nobj)
+        gt = pool_density(density_target(masks, nobj), 16, 16)
         return jnp.mean(jnp.square(dens - gt))
 
     grads = jax.grad(loss)(variables["params"])
@@ -143,21 +145,35 @@ def test_adapt_cfg_disables_missing_density_head(tmp_path):
 
 def test_stop_scalars_backcompat():
     """2-tuple stop_params (pre-r3 stop_params.json) keep the config's
-    suppression factor; 3-tuples carry their own."""
+    suppression factor; 3-tuples carry their own; shorter tuples keep
+    the config's stop fraction, and a non-positive stop fraction
+    resolves to min_frac (the pre-split coupled rule)."""
     import dataclasses as dc
 
     from tpuseg.configs import cvppp_config
     from tpuseg.decoder.instance import InstanceDecoder
 
     dec_cfg = dc.replace(cvppp_config().decoder, peak_suppress_factor=0.7)
-    mf, mm, sup = InstanceDecoder._stop_scalars(dec_cfg, None)
+    mf, mm, sup, st = InstanceDecoder._stop_scalars(dec_cfg, None)
     assert np.isclose(float(sup), 0.7)
-    mf, mm, sup = InstanceDecoder._stop_scalars(dec_cfg, (0.01, 2))
+    # config default stop_remaining_frac=-1 -> follows min_frac
+    assert np.isclose(float(st), float(mf))
+    mf, mm, sup, st = InstanceDecoder._stop_scalars(dec_cfg, (0.01, 2))
     assert np.isclose(float(mf), 0.01) and int(mm) == 2
     assert np.isclose(float(sup), 0.7)
-    mf, mm, sup = InstanceDecoder._stop_scalars(dec_cfg, (0.01, 2, 1.5))
+    assert np.isclose(float(st), 0.01)
+    mf, mm, sup, st = InstanceDecoder._stop_scalars(dec_cfg, (0.01, 2, 1.5))
     assert np.isclose(float(mf), 0.01) and int(mm) == 2
     assert float(sup) == 1.5
+    assert np.isclose(float(st), 0.01)
+    mf, mm, sup, st = InstanceDecoder._stop_scalars(
+        dec_cfg, (0.01, 2, 1.5, 0.004)
+    )
+    assert np.isclose(float(st), 0.004)
+    mf, mm, sup, st = InstanceDecoder._stop_scalars(
+        dec_cfg, (0.01, 2, 1.5, -1.0)
+    )
+    assert np.isclose(float(st), 0.01)
 
 
 def test_load_stop_params_three_tuple(tmp_path):
@@ -173,3 +189,8 @@ def test_load_stop_params_three_tuple(tmp_path):
     json.dump({"min_remaining_frac": 0.01, "max_extract_misses": 2,
                "peak_suppress_factor": 1.3}, open(p3, "w"))
     assert load_stop_params(str(p3)) == (0.01, 2, 1.3)
+    p4 = tmp_path / "sp4.json"
+    json.dump({"min_remaining_frac": 0.01, "max_extract_misses": 2,
+               "peak_suppress_factor": 1.3,
+               "stop_remaining_frac": 0.004}, open(p4, "w"))
+    assert load_stop_params(str(p4)) == (0.01, 2, 1.3, 0.004)

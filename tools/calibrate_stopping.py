@@ -48,6 +48,9 @@ def main():
     ap.add_argument("--grid-frac", default="0.006,0.012,0.024")
     ap.add_argument("--grid-miss", default="2,3")
     ap.add_argument("--grid-sup", default="0.0,0.5,0.7,0.9,1.1")
+    ap.add_argument("--grid-stop", default="-1.0",
+                    help="stop_remaining_frac values; <=0 follows "
+                         "min_frac (the pre-split coupled rule)")
     ap.add_argument("--no-install", action="store_true",
                     help="report only; do not write assets/stop_params.json"
                          " (use for comparing non-installed checkpoints)")
@@ -122,14 +125,16 @@ def main():
     grid_frac = [float(x) for x in args.grid_frac.split(",")]
     grid_miss = [int(x) for x in args.grid_miss.split(",")]
     grid_sup = [float(x) for x in args.grid_sup.split(",")]
+    grid_stop = [float(x) for x in args.grid_stop.split(",")]
     rows = []
     rounds1 = p._rounds_fn(1)
-    for min_frac, max_misses, sup in itertools.product(
-        grid_frac, grid_miss, grid_sup
+    for min_frac, max_misses, sup, stop_frac in itertools.product(
+        grid_frac, grid_miss, grid_sup, grid_stop
     ):
         sp = (jnp.asarray(min_frac, jnp.float32),
               jnp.asarray(max_misses, jnp.int32),
-              jnp.asarray(sup, jnp.float32))
+              jnp.asarray(sup, jnp.float32),
+              jnp.asarray(stop_frac, jnp.float32))
         pred_ids, pred_ns, rounds_used = [], [], []
         t0 = time.time()
         for (fg, sem_mask, budget, score, skips_t), n_valid in preps:
@@ -158,7 +163,7 @@ def main():
         score_v = sbd - args.dic_weight * dic
         rows.append({
             "min_frac": min_frac, "max_misses": max_misses,
-            "suppress": sup,
+            "suppress": sup, "stop_frac": stop_frac,
             "sbd": round(sbd, 4), "abs_dic": round(dic, 4),
             "score": round(score_v, 4),
             "rounds_to_done": round(float(np.mean(rounds_used)), 2),
@@ -177,18 +182,20 @@ def main():
             "once; each config re-runs only the round scan with runtime "
             "stop scalars).  Score = SBD - "
             f"{args.dic_weight}*|DiC|.\n\n"
-            "| min_frac | max_misses | suppress | SBD | abs DiC | score "
-            "| rounds |\n"
-            "|---|---|---|---|---|---|---|\n"
+            "| min_frac | max_misses | suppress | stop_frac | SBD "
+            "| abs DiC | score | rounds |\n"
+            "|---|---|---|---|---|---|---|---|\n"
             + "\n".join(
                 f"| {r['min_frac']} | {r['max_misses']} | {r['suppress']} |"
+                f" {r['stop_frac']} |"
                 f" {r['sbd']} | {r['abs_dic']} | {r['score']} |"
                 f" {r['rounds_to_done']} |"
                 for r in rows
             )
             + f"\n\nBest: min_frac={best['min_frac']}, "
             f"max_misses={best['max_misses']}, "
-            f"suppress={best['suppress']} "
+            f"suppress={best['suppress']}, "
+            f"stop_frac={best['stop_frac']} "
             f"(SBD {best['sbd']}, |DiC| {best['abs_dic']}).\n"
         )
     if not args.no_install:
@@ -197,6 +204,7 @@ def main():
                 {"min_remaining_frac": best["min_frac"],
                  "max_extract_misses": best["max_misses"],
                  "peak_suppress_factor": best["suppress"],
+                 "stop_remaining_frac": best["stop_frac"],
                  "calibrated_on": f"hard{args.n}@{args.res} seed{args.seed}",
                  "ckpt": args.ckpt,
                  "sbd": best["sbd"], "abs_dic": best["abs_dic"]},

@@ -89,6 +89,15 @@ def main():
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--install", action="store_true",
                     help="copy the best checkpoint over --ckpt")
+    ap.add_argument("--calibrate-only", action="store_true",
+                    help="skip training: refit ONLY the folded affine "
+                         "count calibration of the checkpoint's existing "
+                         "head on a fresh val pool (inference-only, "
+                         "minutes not hours)")
+    ap.add_argument("--hard-frac", type=float, default=0.5,
+                    help="hard-preset fraction of the calibration/val "
+                         "pool (the |DiC| gate is hard-split; weighting "
+                         "the pool toward it targets the gate)")
     args = ap.parse_args()
     os.chdir(_REPO)
 
@@ -177,22 +186,23 @@ def main():
         return jnp.sum(dens, axis=(1, 2, 3)) / DENSITY_SCALE
 
     rng = np.random.default_rng(args.seed)
-    cache = f"/tmp/tpuseg_r3/pool_{args.pool}_{args.res}_{args.seed}.npz"
-    if os.path.isfile(cache):
-        d = np.load(cache)
-        pi, pl, pc = d["pi"], d["pl"], d["pc"]
-        print(f"loaded pool from {cache}", flush=True)
-    else:
-        print(f"generating {args.pool}-scene pool...", flush=True)
-        pi, pl, pc = make_pool(
-            rng, args.pool, args.res, 16, hard_frac=0.5,
-            max_leaves=args.max_leaves,
-        )
-        os.makedirs(os.path.dirname(cache), exist_ok=True)
-        np.savez_compressed(cache, pi=pi, pl=pl, pc=pc)
+    if not args.calibrate_only:
+        cache = f"/tmp/tpuseg_r3/pool_{args.pool}_{args.res}_{args.seed}.npz"
+        if os.path.isfile(cache):
+            d = np.load(cache)
+            pi, pl, pc = d["pi"], d["pl"], d["pc"]
+            print(f"loaded pool from {cache}", flush=True)
+        else:
+            print(f"generating {args.pool}-scene pool...", flush=True)
+            pi, pl, pc = make_pool(
+                rng, args.pool, args.res, 16, hard_frac=args.hard_frac,
+                max_leaves=args.max_leaves,
+            )
+            os.makedirs(os.path.dirname(cache), exist_ok=True)
+            np.savez_compressed(cache, pi=pi, pl=pl, pc=pc)
     val_rng = np.random.default_rng(999)
     vi, vl, vc = make_pool(
-        val_rng, args.n_val, args.res, 16, hard_frac=0.5,
+        val_rng, args.n_val, args.res, 16, hard_frac=args.hard_frac,
         max_leaves=args.max_leaves,
     )
 
@@ -220,6 +230,14 @@ def main():
     best = None
     best_mae = 1e9
     t0 = time.time()
+    if args.calibrate_only:
+        best = jax.device_get(head0)
+        m = evaluate(head0)
+        print(f"pre-calibration val: MAE {m['mae']:.3f} exact "
+              f"{m['exact']*100:.0f}% within1 {m['within1']*100:.0f}% "
+              f"bias {m['bias']:+.2f}", flush=True)
+        best_mae = m["mae"]
+        args.steps = 0
     for step in range(1, args.steps + 1):
         idx = rng.integers(0, args.pool, size=args.batch)
         imgs, labels, counts = pi[idx], pl[idx], pc[idx]
@@ -274,13 +292,19 @@ def main():
     best["out_off"] = np.asarray(best["out_off"]) * a_fit + best_b
     print(f"calibration: a={a_fit:.4f} b={best_b:+.3f}", flush=True)
 
-    # honest post-calibration numbers on a SECOND held-out set
-    ti, tl, tc = make_pool(
+    # honest post-calibration numbers on SECOND held-out sets, one per
+    # preset (the |DiC| gate is hard-split; standard must not regress)
+    hi, _, hc = make_pool(
         np.random.default_rng(1234), args.n_val, args.res, 16,
-        hard_frac=0.5, max_leaves=args.max_leaves,
+        hard_frac=1.0, max_leaves=args.max_leaves,
     )
-    del tl
-    for name, imgs_h, counts_h in (("val", vi, vc), ("holdout", ti, tc)):
+    si, _, sc = make_pool(
+        np.random.default_rng(4321), args.n_val, args.res, 16,
+        hard_frac=0.0, max_leaves=args.max_leaves,
+    )
+    for name, imgs_h, counts_h in (
+        ("val", vi, vc), ("holdout-hard", hi, hc), ("holdout-std", si, sc),
+    ):
         e = np.round(raw_ests(best, imgs_h)).astype(int)
         err = e - counts_h
         print(f"calibrated {name}: MAE {np.abs(err).mean():.3f} exact "

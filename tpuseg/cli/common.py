@@ -164,9 +164,10 @@ def load_variables(cfg: Config, model: ReSeg, model_path: str = "", seed: int = 
 def load_stop_params(path: str = "") -> Optional[Tuple]:
     """Calibrated extraction stopping rule, if tools/calibrate_stopping.py
     has produced one (assets/stop_params.json next to the repo root).
-    Returns (min_remaining_frac, max_extract_misses) or, when the file
-    carries the r3 peak-suppression calibration, the 3-tuple
-    (min_remaining_frac, max_extract_misses, peak_suppress_factor)."""
+    Returns (min_remaining_frac, max_extract_misses), extended
+    positionally with peak_suppress_factor (r3 suppression calibration)
+    and stop_remaining_frac (r3 stop/min-size split) when the file
+    carries them."""
     import json
 
     if not path:
@@ -183,7 +184,10 @@ def load_stop_params(path: str = "") -> Optional[Tuple]:
             float(d["min_remaining_frac"]), int(d["max_extract_misses"])
         )
         if "peak_suppress_factor" in d:
-            return base + (float(d["peak_suppress_factor"]),)
+            out = base + (float(d["peak_suppress_factor"]),)
+            if "stop_remaining_frac" in d:
+                out = out + (float(d["stop_remaining_frac"]),)
+            return out
         return base
     except (ValueError, KeyError, OSError):
         return None

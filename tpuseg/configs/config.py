@@ -108,6 +108,18 @@ class DecoderConfig:
     # instance inference crashes, see SURVEY.md quirk #2): stop emitting
     # instances once the remaining foreground fraction drops below this.
     min_remaining_frac: float = 0.003
+    # Remaining-foreground STOP threshold as a fraction of the initial
+    # foreground, decoupled from ``min_remaining_frac`` (which keeps its
+    # role as the minimum-instance-size floor and miss-carve radius).
+    # <= 0 means "follow min_remaining_frac" (pre-split behavior).
+    # Measured (CALIBRATION.md, hard64@256): at the calibrated operating
+    # point (misses=5, suppress=1.3, density-head budgets) this threshold
+    # never binds — extraction ends via the miss counter or the budget
+    # cap in every swept config, so all stop values score identically.
+    # Kept as a decoupled runtime scalar because it CAN bind at other
+    # operating points (higher miss budgets, no count head), and the
+    # tuple-padding plumbing generalizes to future stop scalars.
+    stop_remaining_frac: float = -1.0
     # Peak-selection suppression radius as a fraction of the estimated
     # instance radius sqrt(fg_px / budget / pi).  0 = legacy behavior
     # (radius sqrt(min_pixels)): measured on the bench workload the tiny

@@ -344,8 +344,9 @@ class _GlimpseStep(nn.Module):
         score = const["score"]        # (B, H, W, 1) merged attention map
         sem_mask = const["sem_mask"]  # (B, H, W, 1) predicted fg
         feats = const["feats"]
-        min_pixels = const["min_pixels"]  # (B,) stop + min-size threshold
-        max_count = const["max_count"]    # (B,) per-sample instance budget
+        min_pixels = const["min_pixels"]    # (B,) min-instance-size floor
+        stop_pixels = const["stop_pixels"]  # (B,) remaining-fg stop point
+        max_count = const["max_count"]      # (B,) per-sample instance budget
         # scalar consecutive-miss cutoff — a runtime input (not a baked
         # constant) so stopping-rule calibration sweeps reuse the program
         max_misses = const["max_misses"]
@@ -490,7 +491,7 @@ class _GlimpseStep(nn.Module):
                 rem_px = jnp.sum(remaining.reshape(b, -1), axis=1)
                 done = (
                     done
-                    | (rem_px <= min_pixels)
+                    | (rem_px <= stop_pixels)
                     | (misses >= max_misses)
                     | (count >= max_count)
                 )
@@ -635,24 +636,29 @@ class InstanceDecoder(nn.Module):
 
     @staticmethod
     def _stop_scalars(cfg, stop_params):
-        """(min_remaining_frac, max_extract_misses, peak_suppress_factor)
-        as device scalars — from the runtime override or the config
-        defaults.  2-tuple overrides (pre-r3 stop_params.json) keep the
-        config's suppression factor."""
+        """(min_remaining_frac, max_extract_misses, peak_suppress_factor,
+        stop_remaining_frac) as device scalars — from the runtime override
+        or the config defaults.  Shorter overrides (2-tuple pre-r3 /
+        3-tuple pre-stop-split stop_params.json) keep the config defaults
+        for the trailing scalars.  A non-positive stop fraction resolves
+        to ``min_remaining_frac`` (the pre-split coupled behavior)."""
+        defaults = (
+            cfg.min_remaining_frac, cfg.max_extract_misses,
+            cfg.peak_suppress_factor, cfg.stop_remaining_frac,
+        )
         if stop_params is None:
-            vals = (
-                cfg.min_remaining_frac, cfg.max_extract_misses,
-                cfg.peak_suppress_factor,
-            )
-        elif len(stop_params) == 2:
-            vals = (*stop_params, cfg.peak_suppress_factor)
+            vals = defaults
         else:
-            vals = tuple(stop_params)
-        min_frac, max_misses, suppress = vals
+            vals = tuple(stop_params) + defaults[len(stop_params):]
+        min_frac, max_misses, suppress, stop_frac = vals
+        min_frac = jnp.asarray(min_frac, jnp.float32)
+        stop_frac = jnp.asarray(stop_frac, jnp.float32)
+        stop_frac = jnp.where(stop_frac > 0, stop_frac, min_frac)
         return (
-            jnp.asarray(min_frac, jnp.float32),
+            min_frac,
             jnp.asarray(max_misses, jnp.int32),
             jnp.asarray(suppress, jnp.float32),
+            stop_frac,
         )
 
     def _extract_rounds(
@@ -674,16 +680,19 @@ class InstanceDecoder(nn.Module):
         k_static = max_instances or self.max_n_objects
         G = max(int(cfg.extract_group), 1)
 
-        min_frac, max_misses, suppress = self._stop_scalars(cfg, stop_params)
+        min_frac, max_misses, suppress, stop_frac = self._stop_scalars(
+            cfg, stop_params
+        )
         fg_px = jnp.sum(sem_mask.reshape(b, -1), axis=1)
         min_pixels = jnp.maximum(fg_px * min_frac, 1.0)
+        stop_pixels = jnp.maximum(fg_px * stop_frac, 1.0)
 
         if carry_in is None:
             carry0 = {
                 "remaining": sem_mask.astype(jnp.float32),
                 "idmap": jnp.zeros((b, h, w), jnp.int32),
                 "count": jnp.zeros((b,), jnp.int32),
-                "done": fg_px <= min_pixels,
+                "done": fg_px <= stop_pixels,
                 "misses": jnp.zeros((b,), jnp.int32),
             }
         else:
@@ -706,6 +715,7 @@ class InstanceDecoder(nn.Module):
             "feats": None,
             "partials": tuple(skips_t),
             "min_pixels": min_pixels,
+            "stop_pixels": stop_pixels,
             "max_count": max_count,
             "max_misses": max_misses,
             "fg_px": fg_px,
@@ -851,16 +861,19 @@ class InstanceDecoder(nn.Module):
         pro_split, pro_merge = self._attend(encode, sem_mask, dummy_target, False)
         del pro_split
 
-        min_frac, max_misses, suppress = self._stop_scalars(cfg, stop_params)
+        min_frac, max_misses, suppress, stop_frac = self._stop_scalars(
+            cfg, stop_params
+        )
         fg_px = jnp.sum(sem_mask.reshape(b, -1), axis=1)
         min_pixels = jnp.maximum(fg_px * min_frac, 1.0)
+        stop_pixels = jnp.maximum(fg_px * stop_frac, 1.0)
 
         skip_dtype = self.dtype or jnp.float32
         carry0 = {
             "remaining": sem_mask.astype(jnp.float32),
             "idmap": jnp.zeros((b, h, w), jnp.int32),
             "count": jnp.zeros((b,), jnp.int32),
-            "done": fg_px <= min_pixels,
+            "done": fg_px <= stop_pixels,
             "misses": jnp.zeros((b,), jnp.int32),
             "skips_t": tuple(
                 jnp.zeros(s, skip_dtype)
@@ -882,6 +895,7 @@ class InstanceDecoder(nn.Module):
             "sem_mask": sem_mask.astype(jnp.float32),
             "feats": feats,
             "min_pixels": min_pixels,
+            "stop_pixels": stop_pixels,
             "max_count": max_count,
             "max_misses": max_misses,
             "fg_px": fg_px,
