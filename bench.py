@@ -24,8 +24,10 @@ import time
 
 import numpy as np
 
-N_IMAGES = 128
-BATCH = 32
+# Overridable for A/B operating-point experiments (tools/bench_ab.py
+# style); the committed defaults are the recorded operating point.
+N_IMAGES = int(os.environ.get("TPUSEG_BENCH_IMAGES", "128"))
+BATCH = int(os.environ.get("TPUSEG_BENCH_BATCH", "32"))
 BASELINE_FILE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                              "BENCH_BASELINE.json")
 

@@ -187,7 +187,9 @@ def main():
 
     rng = np.random.default_rng(args.seed)
     if not args.calibrate_only:
-        cache = f"/tmp/tpuseg_r3/pool_{args.pool}_{args.res}_{args.seed}.npz"
+        hf = f"_h{int(round(args.hard_frac * 100)):02d}"
+        cache = (f"/tmp/tpuseg_r3/pool_{args.pool}_{args.res}_{args.seed}"
+                 f"{hf if args.hard_frac != 0.5 else ''}.npz")
         if os.path.isfile(cache):
             d = np.load(cache)
             pi, pl, pc = d["pi"], d["pl"], d["pc"]
@@ -240,7 +242,20 @@ def main():
         args.steps = 0
     for step in range(1, args.steps + 1):
         idx = rng.integers(0, args.pool, size=args.batch)
-        imgs, labels, counts = pi[idx], pl[idx], pc[idx]
+        imgs, labels, counts = pi[idx].copy(), pl[idx].copy(), pc[idx]
+        # count-invariant D4 augmentation (flip + rot90): the head
+        # overfits a finite pool hard (observed: train MAE 0.06 vs val
+        # 0.43 on a 2500-scene pool) — the 8 dihedral views multiply the
+        # effective pool for free, and density targets transform with
+        # the label map exactly
+        for j in range(args.batch):
+            k = int(rng.integers(0, 4))
+            if k:
+                imgs[j] = np.rot90(imgs[j], k)
+                labels[j] = np.rot90(labels[j], k)
+            if rng.random() < 0.5:
+                imgs[j] = imgs[j][:, ::-1]
+                labels[j] = labels[j][:, ::-1]
         gt = host_density_target(labels, counts, 16, DENSITY_SCALE)
         head, opt_state, loss, err = train_step(
             head, opt_state, jnp.asarray(imgs), jnp.asarray(gt),
