@@ -26,7 +26,10 @@ import numpy as np
 
 # Overridable for A/B operating-point experiments (tools/bench_ab.py
 # style); the committed defaults are the recorded operating point.
-N_IMAGES = int(os.environ.get("TPUSEG_BENCH_IMAGES", "128"))
+# 256 images (8 batches in flight) measures steady-state throughput:
+# at 128 the 4-batch dispatch pipeline never fills and the edge effects
+# are a quarter of the measurement (PERF.md round-3 A/B table).
+N_IMAGES = int(os.environ.get("TPUSEG_BENCH_IMAGES", "256"))
 BATCH = int(os.environ.get("TPUSEG_BENCH_BATCH", "32"))
 BASELINE_FILE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                              "BENCH_BASELINE.json")
