@@ -70,7 +70,9 @@ def pair():
         decoder=dataclasses.replace(
             cfg.decoder, drop_rate=0.0, sp_reduction=20
         ),
-        model=dataclasses.replace(cfg.model, use_count_head=False),
+        model=dataclasses.replace(
+            cfg.model, use_count_head=False, use_density_head=False
+        ),
     )
     model = build_model(cfg)
     template = init_variables(cfg, model, seed=0)

@@ -205,7 +205,9 @@ def run_tpuseg(tmodel, jax_batches, epochs):
             # factor at this resolution (attenet2.py:71-77)
             entropy_normal=(H / 256.0) ** 0.5,
         ),
-        model=dataclasses.replace(cfg.model, use_count_head=False),
+        model=dataclasses.replace(
+            cfg.model, use_count_head=False, use_density_head=False
+        ),
     )
     model = build_model(cfg)
     template = init_variables(cfg, model, seed=0)

@@ -86,7 +86,9 @@ def main():
             deterministic_glimpse=True, debug_loss_terms=True,
             entropy_normal=(H / 256.0) ** 0.5,
         ),
-        model=dataclasses.replace(cfg.model, use_count_head=False),
+        model=dataclasses.replace(
+            cfg.model, use_count_head=False, use_density_head=False
+        ),
     )
     model = build_model(cfg)
     template = init_variables(cfg, model, seed=0)
