@@ -27,8 +27,12 @@ from tpuseg.settings import get_config
 
 
 def main(argv=None):
+    import sys
+    import time
+
     from tpuseg.utils import enable_compilation_cache
 
+    t_start = time.perf_counter()
     enable_compilation_cache()  # warm starts: reuse compiled executables
     parser = argparse.ArgumentParser()
     parser.add_argument("--lst", required=True,
@@ -87,6 +91,13 @@ def main(argv=None):
     variables = load_variables(cfg, model, model_path if usable else "")
     import jax
 
+    # phase timing on stderr: separates framework time from the highly
+    # variable tunnelled-backend registration (measured 0-140 s on
+    # otherwise identical warm runs — the first device touch below pays
+    # it, so t_ready-t_start is mostly backend init + weight upload)
+    jax.devices()
+    t_ready = time.perf_counter()
+
     n_dev = opt.ndevices if opt.ndevices else len(jax.devices())
     stop_params = load_stop_params()
     staged = opt.staged
@@ -129,6 +140,14 @@ def main(argv=None):
             os.path.join(out_dir, name + "-n_objects.npy"),
             np.asarray(res["n_objects"]),
         )
+    t_done = time.perf_counter()
+    print(
+        f"timing: backend+weights {t_ready - t_start:.1f}s, "
+        f"inference+artifacts {t_done - t_ready:.1f}s "
+        f"({len(image_names) / max(t_done - t_ready, 1e-9):.1f} img/s "
+        "incl. host PNG writes)",
+        file=sys.stderr,
+    )
     print(f"wrote {len(image_names)} predictions to {output_path}")
     return output_path
 
