@@ -85,7 +85,15 @@ def main():
     args = ap.parse_args()
     os.chdir(_REPO)
 
+    # Merge into the existing file: bench_scaling.py owns keys like
+    # "scaling_table"; a quality/throughput rerun must not drop them.
     out = {}
+    if os.path.isfile("BENCH_EXTRA.json"):
+        try:
+            with open("BENCH_EXTRA.json") as f:
+                out = json.load(f)
+        except Exception:
+            out = {}
 
     # 1. quality through the CLI chain on the hard split — FIRST, in
     # subprocesses, BEFORE this process initialises jax: only one process
