@@ -182,7 +182,15 @@ def main(
                     "batch_stats": state.batch_stats,
                     "decoder_state": state.decoder_state,
                 })
-                print(f"  new best @ {epoch}", flush=True)
+                # save incrementally: a killed/timed-out run keeps its best
+                import flax.serialization
+
+                os.makedirs(os.path.dirname(out), exist_ok=True)
+                tmp_path = out + ".tmp"
+                with open(tmp_path, "wb") as f:
+                    f.write(flax.serialization.to_bytes(best_payload))
+                os.replace(tmp_path, out)
+                print(f"  new best @ {epoch} (saved to {out})", flush=True)
 
     import flax.serialization
 
