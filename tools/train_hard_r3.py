@@ -141,7 +141,10 @@ def main(
     print(f"start: SBD={m0['sbd']:.4f} FG={m0['fg']:.4f} "
           f"|DiC|={m0['dic']:.3f}", flush=True)
 
-    best_score, best_epoch, best_payload, best_m = -1e9, -1, None, m0
+    # a fine-tune must beat the START point to count as "best" — the
+    # resumed asset is the incumbent, not a -inf placeholder
+    best_score = m0["sbd"] - dic_weight * m0["dic"] if resume else -1e9
+    best_epoch, best_payload, best_m = -1, None, m0
     loader = PrefetchLoader(
         train_ds, AlignCollate("training", cfg.data, batch_size), batch_size,
         shuffle=True, seed=cfg.train.seed, n_workers=4,
