@@ -85,15 +85,26 @@ def main():
     args = ap.parse_args()
     os.chdir(_REPO)
 
-    # Merge into the existing file: bench_scaling.py owns keys like
-    # "scaling_table"; a quality/throughput rerun must not drop them.
+    # Carry over ONLY the keys other tools own (bench_scaling.py:
+    # "scaling_table") — a blanket merge would preserve stale/renamed
+    # metrics from older code versions indefinitely (ADVICE r3).
+    _FOREIGN_KEYS = ("scaling_table",)
     out = {}
     if os.path.isfile("BENCH_EXTRA.json"):
         try:
             with open("BENCH_EXTRA.json") as f:
-                out = json.load(f)
+                old = json.load(f)
+            out = {k: old[k] for k in _FOREIGN_KEYS if k in old}
         except Exception:
             out = {}
+    out["provenance"] = {
+        "generated_by": "tools/bench_multi.py",
+        "commit": subprocess.run(
+            ["git", "rev-parse", "--short", "HEAD"], capture_output=True,
+            text=True,
+        ).stdout.strip(),
+        "ts": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+    }
 
     # 1. quality through the CLI chain on the hard split — FIRST, in
     # subprocesses, BEFORE this process initialises jax: only one process

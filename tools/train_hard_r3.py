@@ -197,7 +197,16 @@ def main(
 
     import flax.serialization
 
+    # ADVICE r3 (high): the asset only moves on an ACTUAL win. Under
+    # resume the incumbent seeds best_score; if no eval beat it,
+    # best_payload is None and nothing here may overwrite `out` (or the
+    # installed asset) with unevaluated final-epoch weights while
+    # printing the incumbent's metrics.
     if best_payload is None:
+        if resume:
+            print("no eval beat the resumed incumbent — leaving the "
+                  f"asset and {out} untouched", flush=True)
+            return
         best_payload = jax.device_get({
             "params": state.params,
             "batch_stats": state.batch_stats,
@@ -210,15 +219,15 @@ def main(
         f.write(flax.serialization.to_bytes(best_payload))
     print(f"saved best weights to {out}", flush=True)
 
-    if install_bar and best_m["sbd"] >= install_bar:
+    if install_bar and best_epoch >= 0 and best_m["sbd"] >= install_bar:
         import shutil
 
         shutil.copyfile(out, asset)
         print(f"installed into {asset} (SBD {best_m['sbd']:.4f} >= "
               f"{install_bar})", flush=True)
     elif install_bar:
-        print(f"NOT installed: SBD {best_m['sbd']:.4f} < bar {install_bar}",
-              flush=True)
+        print(f"NOT installed: best_epoch={best_epoch} "
+              f"SBD {best_m['sbd']:.4f} vs bar {install_bar}", flush=True)
 
 
 if __name__ == "__main__":
