@@ -111,11 +111,14 @@ def main():
     # may hold the TPU tunnel at a time (CLAUDE.md), so the parent must
     # not have registered yet while pred_list/evaluate run.
     if not args.skip_quality:
-        from tpuseg.data.synthetic import write_synthetic_eval_tree
+        # measured on the FROZEN sha256-pinned asset (VERDICT r3 #1) so
+        # cross-round quality numbers share one fixed distribution
+        from tpuseg.data.eval_asset import (
+            default_asset_prefix, materialize_eval_tree,
+        )
 
         tmp = tempfile.mkdtemp(prefix="tpuseg_benchq_")
-        lst = write_synthetic_eval_tree(tmp, 32, seed=77, hard=True,
-                                        max_leaves=14)
+        lst = materialize_eval_tree(default_asset_prefix(), tmp)
         meta = os.path.join(tmp, "data", "metadata", "CVPPP")
         img_dir = os.path.join(
             tmp, "data", "raw", "CVPPP", "CVPPP2017_LSC_training",
@@ -136,9 +139,8 @@ def main():
         for line in ev.strip().splitlines():
             if ":" in line:
                 k, v = line.split(":", 1)
-                out["quality_hard32_" + k.strip().replace(" ", "_")] = (
-                    round(float(v), 4)
-                )
+                out["quality_hard64_frozen_" + k.strip().replace(" ", "_")] \
+                    = round(float(v), 4)
 
     # 2. inference throughput, median of N
     import bench
