@@ -64,6 +64,9 @@ def main(argv=None):
     parser.add_argument("--live", action="store_true",
                         help="terminal sparkline live plots per metric "
                              "(the reference's visdom plots, serverless)")
+    parser.add_argument("--bf16", action="store_true",
+                        help="bfloat16 compute for the train step "
+                             "(params/optimizer stay float32)")
     parser.add_argument("--tensorboard", action="store_true",
                         help="write TensorBoard scalars under <run_dir>/tb")
     opt = parser.parse_args(argv)
@@ -108,7 +111,9 @@ def main(argv=None):
     def val_batches(epoch):
         return val_loader.epoch(epoch)
 
-    model = build_model(cfg)
+    model = build_model(
+        cfg, dtype=jax.numpy.bfloat16 if opt.bf16 else None
+    )
     variables = init_variables(cfg, model, seed=cfg.train.seed)
     state = create_train_state(cfg, variables)
     if opt.model:
@@ -128,6 +133,10 @@ def main(argv=None):
         n_epochs=opt.nepochs, rng=jax.random.PRNGKey(cfg.train.seed),
         log_every=10 if opt.debug else 0, mesh=mesh,
         live=opt.live, tensorboard=opt.tensorboard,
+        # the reference dumps p_*/pred_*/target_*/pro/mas jpgs every 40
+        # decoder iterations unconditionally into the CWD
+        # (attenet2.py:247-251); here behind --debug, under the run dir
+        debug_dir=os.path.join(run_dir, "debug") if opt.debug else None,
     )
 
 
