@@ -160,7 +160,8 @@ def test_fit_loop_writes_logs_and_checkpoints(tmp_path):
         return [batch]
 
     state = fit(cfg, model, state, loader, loader, run_dir, n_epochs=2,
-                rng=jax.random.PRNGKey(1))
+                rng=jax.random.PRNGKey(1),
+                debug_dir=os.path.join(run_dir, "debug"), debug_every=40)
     assert int(state.step) == 2
     files = os.listdir(run_dir)
     assert "training.log" in files and "validation.log" in files
@@ -170,6 +171,14 @@ def test_fit_loop_writes_logs_and_checkpoints(tmp_path):
     assert lines[0] == "Epoch,Cost" and len(lines) == 3
     ckpts = [f for f in files if f.startswith("model_")]
     assert ckpts, files
+    # debug-image dumps (reference attenet2.py:247-251 artifact kinds):
+    # iteration 1 of each epoch dumps under a deterministic directory
+    for ep in (0, 1):
+        ddir = os.path.join(run_dir, "debug", f"ep{ep:03d}_it00001")
+        dumped = set(os.listdir(ddir))
+        assert {"p_0.jpg", "pred_0.jpg", "target_0.jpg",
+                "p_4.jpg", "pred_4.jpg", "target_4.jpg",
+                "pro.jpg", "proall.jpg", "mas.jpg"} <= dumped, dumped
 
 
 def test_live_metrics_and_tensorboard(tmp_path, capsys):

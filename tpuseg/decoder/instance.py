@@ -158,6 +158,16 @@ class _GlimpseStep(nn.Module):
             if sem is None:
                 return skips_t
             return tuple(bone.conv1_partials(skips_t, sem))
+        if self.mode == "debug":
+            # single-glimpse forward for the periodic debug-image dumps
+            # (reference attenet2.py:143-179): one pyramid decode of the
+            # given point, per-level logits + pooled targets returned raw
+            skips_t = list(bone.transform_skips(const["feats"], False))
+            t_all, p_all = bone.decode(
+                xs["s"], skips_t, const["sem_mask"], const["gold"],
+                None, False,
+            )
+            return tuple(t_all), tuple(p_all)
         if self.mode == "loss":
             return self._loss_step(bone, carry, const, xs)
         return self._extract_step(bone, carry, const, xs)
@@ -609,12 +619,47 @@ class InstanceDecoder(nn.Module):
             )
         if mode == "prep":
             return self._prep(encode, sem_mask, feats)
+        if mode == "debug":
+            return self._debug(encode, sem_mask, target, feats)
         if mode == "extract_rounds":
             return self._extract_rounds(
                 sem_mask, score, skips_t, max_instances, count_budget,
                 n_rounds, n_filters, carry_in, stop_params,
             )
         return self._loss(encode, sem_mask, target, n_ins, feats, train)
+
+    def _debug(self, encode, sem_mask, target, feats):
+        """Single-glimpse debug forward for the reference's periodic image
+        dumps (attenet2.py:143-179,247-251): attend, take instance slot 0's
+        argmax glimpse, decode one pyramid pass.  Returns the per-level
+        logits/targets plus the attention tensors the writers consume
+        (tpuseg/utils/debug_images.py)."""
+        b = encode.shape[0]
+        pro_split, pro_merge = self._attend(encode, sem_mask, target, False)
+        idx = jnp.zeros((b,), jnp.int32)
+        gold = jnp.take_along_axis(
+            target, idx[:, None, None, None], axis=-1
+        ).astype(jnp.float32)
+        alpha = jnp.take_along_axis(
+            pro_split, idx[:, None, None, None], axis=-1
+        ).reshape(b, -1)
+        s = jnp.argmax(jax.lax.stop_gradient(alpha), axis=1)
+        step = _GlimpseStep(
+            cfg=self.cfg, train=False, mode="debug", dtype=self.dtype,
+            name="glimpse",
+        )
+        t_all, p_all = step(
+            None,
+            {"feats": feats, "sem_mask": sem_mask, "gold": gold},
+            {"s": s},
+        )
+        return {
+            "preds": p_all,
+            "targets": t_all,
+            "alpha": alpha,
+            "pro": pro_merge,
+            "point": s,
+        }
 
     def _prep(self, encode, sem_mask, feats):
         """Glimpse-independent half of extraction: merged attention score

@@ -240,6 +240,19 @@ class ReSeg(nn.Module):
             # backbone cost and irrelevant to the counting head)
             return density
 
+        if mode == "debug":
+            # periodic debug-image dumps during training (reference
+            # attenet2.py:247-251): GT semantic mask like the loss path,
+            # one argmax glimpse on instance slot 0
+            sem_mask = jnp.argmax(sem_onehot, axis=-1)[..., None]
+            sem_mask = sem_mask.astype(jnp.float32)
+            out = decoder(
+                x_enc, sem_mask, target=ins_target, feats=skips,
+                mode="debug",
+            )
+            out["sem_mask"] = sem_mask
+            return out
+
         if mode == "loss":
             # GT semantic argmax as the decoder mask whenever labels are
             # given — the reference's 4-arg branch applies to BOTH train

@@ -20,7 +20,11 @@ from tpuseg.parallel import pad_to_multiple, replicate, shard_batch
 from tpuseg.runtime.checkpoint import save_checkpoint
 from tpuseg.runtime.metrics_log import MetricLogger
 from tpuseg.runtime.state import TrainState
-from tpuseg.runtime.train import make_eval_step, make_train_step
+from tpuseg.runtime.train import (
+    make_debug_step,
+    make_eval_step,
+    make_train_step,
+)
 
 
 def _aggregate(metric_list) -> Dict[str, float]:
@@ -31,6 +35,24 @@ def _aggregate(metric_list) -> Dict[str, float]:
     for k in keys:
         out[k] = float(np.mean([float(m[k]) for m in metric_list]))
     return out
+
+
+def _dump_debug(debug_step, state, batch, out_dir: str) -> None:
+    """Run the single-glimpse debug forward and write the reference's
+    artifact kinds (p_f / pred_f / target_f / pro / proall / mas jpgs,
+    lib/utils.py:154-174) for batch sample 0."""
+    from tpuseg.utils.debug_images import dump_pyramid_debug
+
+    dbg = debug_step(state, batch)
+    dump_pyramid_debug(
+        out_dir,
+        [np.asarray(p, np.float32) for p in dbg["preds"]],
+        [np.asarray(t, np.float32) for t in dbg["targets"]],
+        np.asarray(dbg["pro"], np.float32),
+        np.asarray(dbg["sem_mask"], np.float32),
+        alpha=np.asarray(dbg["alpha"], np.float32),
+        point=int(np.asarray(dbg["point"])[0]),
+    )
 
 
 def fit(
@@ -46,6 +68,8 @@ def fit(
     mesh=None,
     live: bool = False,
     tensorboard: bool = False,
+    debug_dir: Optional[str] = None,
+    debug_every: int = 40,
 ) -> TrainState:
     """train_batches/val_batches: callables epoch -> iterable of batch dicts
     (host numpy or device arrays, fixed shapes).
@@ -60,6 +84,10 @@ def fit(
     rng = rng if rng is not None else jax.random.PRNGKey(cfg.train.seed)
     train_step = make_train_step(cfg, model, train_cnn=cfg.train.train_cnn)
     eval_step = make_eval_step(cfg, model)
+    # periodic debug-image dumps (reference attenet2.py:247-251 dumps
+    # every 40 decoder iterations unconditionally into the CWD; here an
+    # explicit directory + cadence, deterministic filenames)
+    debug_step = make_debug_step(cfg, model) if debug_dir else None
     logger = MetricLogger(run_dir, live=live, tensorboard=tensorboard)
 
     n_dev = int(mesh.devices.size) if mesh is not None else 1
@@ -89,6 +117,12 @@ def fit(
             rng, sub = jax.random.split(rng)
             state, m = train_step(state, _prepare(batch), sub)
             train_metrics.append(m)
+            it = len(train_metrics)
+            if debug_step is not None and (it - 1) % debug_every == 0:
+                _dump_debug(
+                    debug_step, state, _prepare(batch),
+                    os.path.join(debug_dir, f"ep{epoch:03d}_it{it:05d}"),
+                )
             if log_every and len(train_metrics) % log_every == 0:
                 print(
                     f"epoch {epoch} it {len(train_metrics)}: "
