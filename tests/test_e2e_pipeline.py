@@ -33,6 +33,78 @@ def test_records_roundtrip(tmp_path):
     np.testing.assert_array_equal((ins.sum(-1) > 0).astype(np.uint8), sem)
 
 
+class _FakeTxn:
+    def __init__(self, store):
+        self._s = store
+
+    def put(self, k, v):
+        self._s[bytes(k)] = bytes(v)
+
+    def get(self, k):
+        return self._s.get(bytes(k))
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *a):
+        return False
+
+
+class _FakeEnv:
+    _stores = {}
+
+    def __init__(self, path):
+        self._s = _FakeEnv._stores.setdefault(os.path.abspath(path), {})
+
+    def begin(self, write=False, **kw):
+        return _FakeTxn(self._s)
+
+    def close(self):
+        pass
+
+
+def _fake_lmdb_module():
+    import types
+
+    mod = types.ModuleType("lmdb")
+    mod.open = lambda path, **kw: _FakeEnv(path)
+    return mod
+
+
+def test_lmdb_writer_roundtrips_reference_layout(tmp_path, monkeypatch):
+    """LmdbWriter emits the reference's exact key layout
+    (data/scripts/CVPPP/utils.py:42-59): convert a packed-record dataset
+    to LMDB and read it back through LmdbSegDataset — the reader of the
+    reference's own files (lib/dataset.py:34-61).  Runs against an
+    in-memory lmdb stub so the layout is validated without the package;
+    if the real lmdb package is installed the same test runs on disk."""
+    import sys
+
+    try:
+        import lmdb  # noqa: F401 — real package present, use it
+    except ImportError:
+        monkeypatch.setitem(sys.modules, "lmdb", _fake_lmdb_module())
+
+    from tpuseg.data.records import LmdbSegDataset, convert_to_lmdb
+
+    prefix = os.path.join(tmp_path, "train")
+    write_synthetic_records(prefix, 4, seed=3, height=48, width=48)
+    src = SegRecordDataset(prefix)
+    lmdb_dir = os.path.join(tmp_path, "train_lmdb")
+    os.makedirs(lmdb_dir, exist_ok=True)
+    n = convert_to_lmdb(prefix, lmdb_dir)
+    assert n == 4
+    back = LmdbSegDataset(lmdb_dir)
+    assert len(back) == 4
+    for i in range(4):
+        img_a, sem_a, ins_a, n_a = src[i]
+        img_b, sem_b, ins_b, n_b = back[i]
+        assert n_a == n_b
+        np.testing.assert_array_equal(sem_a, sem_b)
+        np.testing.assert_array_equal(ins_a, ins_b)
+        np.testing.assert_array_equal(np.array(img_a), np.array(img_b))
+
+
 def test_align_collate_shapes_and_padding(tmp_path):
     prefix = os.path.join(tmp_path, "train")
     write_synthetic_records(prefix, 3, seed=2, height=96, width=96)

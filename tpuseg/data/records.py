@@ -155,6 +155,62 @@ class LmdbSegDataset:
         return img, sem.copy(), ins.copy(), n
 
 
+class LmdbWriter:
+    """Writes the reference's exact LMDB layout so a tpuseg-prepared
+    dataset round-trips into the reference's own reader
+    (``code/lib/dataset.py:34-61``; writer semantics
+    ``data/scripts/CVPPP/utils.py:14-62``): 1-based keys ``image-{i}``
+    (encoded PNG bytes), ``semantic-annotation-{i}`` /
+    ``instance-annotation-{i}`` (raw uint8 buffers), ``height/width/
+    n_objects-{i}`` (ascii ints), ``num-samples``.  Puts are batched per
+    transaction.  Requires the ``lmdb`` package (gated import)."""
+
+    FLUSH_EVERY = 50  # samples per write transaction
+
+    def __init__(self, lmdb_path: str, map_size: int = 1 << 36):
+        import lmdb  # gated import
+
+        self.env = lmdb.open(lmdb_path, map_size=map_size)
+        self.n = 0
+        self._cache: Dict[bytes, bytes] = {}
+
+    def _flush(self) -> None:
+        with self.env.begin(write=True) as txn:
+            for k, v in self._cache.items():
+                txn.put(k, v)
+        self._cache = {}
+
+    def add(
+        self,
+        image_png: bytes,
+        semantic: np.ndarray,
+        instance: np.ndarray,
+        n_objects: int,
+    ) -> None:
+        """Same argument contract as ``RecordWriter.add``."""
+        h, w = semantic.shape
+        assert instance.shape == (h, w, n_objects), instance.shape
+        i = self.n + 1
+        self._cache[f"image-{i}".encode()] = bytes(image_png)
+        self._cache[f"semantic-annotation-{i}".encode()] = (
+            np.ascontiguousarray(semantic, np.uint8).tobytes()
+        )
+        self._cache[f"instance-annotation-{i}".encode()] = (
+            np.ascontiguousarray(instance, np.uint8).tobytes()
+        )
+        self._cache[f"height-{i}".encode()] = str(h).encode()
+        self._cache[f"width-{i}".encode()] = str(w).encode()
+        self._cache[f"n_objects-{i}".encode()] = str(int(n_objects)).encode()
+        self.n += 1
+        if self.n % self.FLUSH_EVERY == 0:
+            self._flush()
+
+    def close(self) -> None:
+        self._cache[b"num-samples"] = str(self.n).encode()
+        self._flush()
+        self.env.close()
+
+
 def open_dataset(path: str):
     """Open either a packed-record prefix or an LMDB directory."""
     if os.path.isfile(path + ".tsidx") or path.endswith((".tsidx", ".tsbin")):
@@ -172,6 +228,20 @@ def convert_lmdb(lmdb_path: str, out_prefix: str) -> int:
     """Migrate a reference LMDB into the packed-record format."""
     src = LmdbSegDataset(lmdb_path)
     w = RecordWriter(out_prefix)
+    for i in range(len(src)):
+        img, sem, ins, n = src[i]
+        buf = io.BytesIO()
+        img.save(buf, format="PNG")
+        w.add(buf.getvalue(), sem, ins, n)
+    w.close()
+    return len(src)
+
+
+def convert_to_lmdb(src_path: str, lmdb_path: str) -> int:
+    """Reverse of ``convert_lmdb``: round-trip a packed-record dataset
+    back into a reference-consumable LMDB (lib/dataset.py:34-61)."""
+    src = open_dataset(src_path)
+    w = LmdbWriter(lmdb_path)
     for i in range(len(src)):
         img, sem, ins, n = src[i]
         buf = io.BytesIO()

@@ -131,10 +131,15 @@ def number_of_instances(img_dir: str, meta_dir: str):
 
 
 def create_records(
-    img_dir: str, ann_dir: str, meta_dir: str, out_dir: str
+    img_dir: str, ann_dir: str, meta_dir: str, out_dir: str,
+    fmt: str = "records",
 ):
     """Step 7 (reference 3-create_dataset.py + utils.py:14-62): one record
-    dataset per subset with the same logical keys."""
+    dataset per subset with the same logical keys.
+
+    ``fmt``: 'records' (packed .tsidx/.tsbin), 'lmdb' (the reference's own
+    layout, readable by its lib/dataset.py:34-61 — needs the lmdb
+    package), or 'both'."""
     os.makedirs(out_dir, exist_ok=True)
     counts = {}
     for subset in ("training", "validation"):
@@ -142,7 +147,15 @@ def create_records(
         if not os.path.isfile(lst):
             continue
         names = [l.strip() for l in open(lst) if l.strip()]
-        writer = RecordWriter(os.path.join(out_dir, subset))
+        writers = []
+        if fmt in ("records", "both"):
+            writers.append(RecordWriter(os.path.join(out_dir, subset)))
+        if fmt in ("lmdb", "both"):
+            from tpuseg.data.records import LmdbWriter
+
+            writers.append(
+                LmdbWriter(os.path.join(out_dir, subset + "_lmdb"))
+            )
         n = 0
         for name in names:
             img_path = os.path.join(img_dir, name + "_rgb.png")
@@ -154,10 +167,12 @@ def create_records(
                 png = f.read()
             ins = np.load(ins_path)
             sem = np.load(sem_path)
-            writer.add(png, sem.astype(np.uint8), ins.astype(np.uint8),
-                       ins.shape[-1])
+            for writer in writers:
+                writer.add(png, sem.astype(np.uint8), ins.astype(np.uint8),
+                           ins.shape[-1])
             n += 1
-        writer.close()
+        for writer in writers:
+            writer.close()
         counts[subset] = n
     return counts
 
@@ -171,6 +186,12 @@ def main(argv=None):
         help="override raw image dir (default <data_dir>/raw/...A1)",
     )
     parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument(
+        "--format", default="records",
+        choices=("records", "lmdb", "both"),
+        help="dataset output format: packed records (default), the "
+             "reference's LMDB layout, or both",
+    )
     opt = parser.parse_args(argv)
 
     img_dir = opt.img_dir or os.path.join(
@@ -198,7 +219,8 @@ def main(argv=None):
     number_of_instances(img_dir, meta)
     print("7. Creating record datasets")
     counts = create_records(
-        img_dir, processed, meta, os.path.join(processed, "records")
+        img_dir, processed, meta, os.path.join(processed, "records"),
+        fmt=opt.format,
     )
     print(f"   {counts}")
 
