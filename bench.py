@@ -154,7 +154,9 @@ def measure_baseline_serial_cpu(cfg, model, variables, images) -> float:
             x = image_ex_standardize(x_u8)
             return model.apply(variables, x, mode="infer")
 
-        n = min(3, len(images))
+        # >=16 samples for the cached denominator of the headline ratio
+        # (3 was too thin a sample for a number inherited forever)
+        n = min(int(os.environ.get("BENCH_BASELINE_N", "16")), len(images))
         _ = np.asarray(infer1(cpu_vars, jnp.asarray(images[:1]))[2])
         t0 = time.perf_counter()
         for i in range(n):

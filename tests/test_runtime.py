@@ -270,3 +270,77 @@ def test_merge_restore_and_cfg_adaptation(tmp_path):
     bad = jax.tree_util.tree_map(lambda x: x, dict(restored))
     merged = _merge_restore(bad, stored)
     assert "count_head" in merged["params"]
+
+
+def test_hoist_skips_train_parity():
+    """cfg.decoder.hoist_skips_train: the two-apply hoisted train step
+    (loss_prep + loss_tail, runtime/train.py) must match the single-apply
+    reference-shaped step exactly when drop_rate == 0 — same loss terms,
+    same updated params, same batch_stats (the transform BN running stats
+    via the momentum^K fix-up, _fixup_k_updates)."""
+    cfg = _tiny_cfg()
+    cfg = dataclasses.replace(
+        cfg,
+        decoder=dataclasses.replace(cfg.decoder, drop_rate=0.0),
+    )
+    model = ReSeg(cfg=cfg)
+    batch = {k: jnp.asarray(v) for k, v in _batch(2, seed=7).items()}
+    rng = jax.random.PRNGKey(11)
+    variables = jax.jit(model.init, static_argnames=("train", "mode"))(
+        {"params": rng, "glimpse": rng, "dropout": rng},
+        batch["images"], batch["sem_onehot"], batch["ins_masks"],
+        batch["n_objects"], train=True, mode="loss",
+    )
+    state0 = create_train_state(cfg, variables)
+
+    cfg_h = dataclasses.replace(
+        cfg, decoder=dataclasses.replace(cfg.decoder, hoist_skips_train=True)
+    )
+    cfg_n = dataclasses.replace(
+        cfg, decoder=dataclasses.replace(cfg.decoder, hoist_skips_train=False)
+    )
+    step_rng = jax.random.PRNGKey(5)
+    s_h, m_h = make_train_step(cfg_h, model)(state0, batch, step_rng)
+    s_n, m_n = make_train_step(cfg_n, model)(state0, batch, step_rng)
+
+    for k in m_n:
+        np.testing.assert_allclose(
+            float(m_h[k]), float(m_n[k]), rtol=2e-4, atol=1e-5, err_msg=k
+        )
+
+    def _cmp(tree_a, tree_b, what, rtol=2e-4, atol=2e-5):
+        fa = jax.tree_util.tree_leaves_with_path(tree_a)
+        fb = jax.tree_util.tree_leaves(tree_b)
+        assert len(fa) == len(fb)
+        for (path, a), b in zip(fa, fb):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=rtol, atol=atol,
+                err_msg=f"{what}{jax.tree_util.keystr(path)}",
+            )
+
+    _cmp(s_h.params, s_n.params, "params")
+    _cmp(s_h.batch_stats, s_n.batch_stats, "batch_stats")
+    _cmp(s_h.decoder_state, s_n.decoder_state, "decoder_state")
+
+
+def test_hoist_skips_train_with_dropout_runs():
+    """With dropout active the hoist shares one transform mask across the
+    K glimpses (documented deviation) — the step must still run finite
+    and update params."""
+    cfg = _tiny_cfg()  # drop_rate 0.5 default
+    model = ReSeg(cfg=cfg)
+    batch = {k: jnp.asarray(v) for k, v in _batch(2, seed=3).items()}
+    rng = jax.random.PRNGKey(2)
+    variables = jax.jit(model.init, static_argnames=("train", "mode"))(
+        {"params": rng, "glimpse": rng, "dropout": rng},
+        batch["images"], batch["sem_onehot"], batch["ins_masks"],
+        batch["n_objects"], train=True, mode="loss",
+    )
+    state0 = create_train_state(cfg, variables)
+    assert cfg.decoder.hoist_skips_train  # default on
+    s1, m1 = make_train_step(cfg, model)(state0, batch, jax.random.PRNGKey(4))
+    for k, v in m1.items():
+        assert np.isfinite(float(v)), k
+    d = jax.tree.map(lambda a, b: float(jnp.max(jnp.abs(a - b))),
+                     state0.params, s1.params)
+    assert max(jax.tree_util.tree_leaves(d)) > 0

@@ -163,6 +163,17 @@ class DecoderConfig:
     # trades ~30% recompute for several-fold less activation memory
     # (jax.checkpoint), enabling larger batches at 256^2.
     remat: bool = True
+    # Hoist the glimpse-independent skip-feature transforms OUT of the
+    # training glimpse scan (the reference recomputes them every glimpse,
+    # attenet2.py:377 -> utils.py:977-991; they depend only on the UNet
+    # feats).  Saves max_iter-1 forward evaluations plus their remat
+    # recomputes per step.  Exact up to two documented deviations: the
+    # transform BN running stats get ONE update with an exact momentum^K
+    # fix-up applied outside the module (runtime/train.py) instead of K
+    # identical updates — bitwise-equivalent when drop_rate == 0 — and
+    # with dropout active the transform mask is drawn once per step and
+    # shared across the K glimpses instead of redrawn per glimpse.
+    hoist_skips_train: bool = True
     smooth: float = 1.0  # dice smooth (attenet2.py:39-44)
 
 

@@ -153,7 +153,7 @@ class _GlimpseStep(nn.Module):
             cfg=cfg, n_filters=n_filters, dtype=self.dtype, name="bone"
         )
         if self.mode == "prep":
-            skips_t = tuple(bone.transform_skips(const["feats"], False))
+            skips_t = tuple(bone.transform_skips(const["feats"], self.train))
             sem = const.get("sem_mask")
             if sem is None:
                 return skips_t
@@ -210,9 +210,14 @@ class _GlimpseStep(nn.Module):
             s = jnp.argmax(alpha_sg, axis=1)
 
         if self.train:
+            # const["skips_t"] is the hoisted skip-transform output
+            # (cfg.hoist_skips_train) — computed ONCE per step outside the
+            # scan; None falls back to the per-glimpse recompute the
+            # reference does (attenet2.py:377)
             targets_all, preds_all = bone(
                 s, feats, sem_mask, gold,
                 jax.lax.stop_gradient(pro_merge), self.train,
+                const.get("skips_t"),
             )
             skips_t = carry.get("skips_t")
         else:
@@ -619,6 +624,17 @@ class InstanceDecoder(nn.Module):
             )
         if mode == "prep":
             return self._prep(encode, sem_mask, feats)
+        if mode == "skips":
+            # train-hoist stage A (cfg.hoist_skips_train): ONLY the
+            # glimpse-independent skip transforms, run once per step in
+            # train mode (BN batch stats, dropout); the scan consumes the
+            # result via ``skips_t``.  Instantiated under the scan's
+            # module name so params/stats resolve to the same tree.
+            step = _GlimpseStep(
+                cfg=self.cfg, train=train, mode="prep", dtype=self.dtype,
+                name="glimpse",
+            )
+            return step(None, {"feats": feats}, None)
         if mode == "debug":
             return self._debug(encode, sem_mask, target, feats)
         if mode == "extract_rounds":
@@ -626,7 +642,9 @@ class InstanceDecoder(nn.Module):
                 sem_mask, score, skips_t, max_instances, count_budget,
                 n_rounds, n_filters, carry_in, stop_params,
             )
-        return self._loss(encode, sem_mask, target, n_ins, feats, train)
+        return self._loss(
+            encode, sem_mask, target, n_ins, feats, train, skips_t
+        )
 
     def _debug(self, encode, sem_mask, target, feats):
         """Single-glimpse debug forward for the reference's periodic image
@@ -783,7 +801,8 @@ class InstanceDecoder(nn.Module):
         return carry["idmap"], carry["count"], carry_out
 
     def _loss(
-        self, encode, sem_mask, target, n_ins, feats, train: bool
+        self, encode, sem_mask, target, n_ins, feats, train: bool,
+        skips_t=None,
     ) -> Dict[str, jnp.ndarray]:
         """Glimpse-loop loss (reference forward, attenet2.py:357-407).
 
@@ -851,6 +870,8 @@ class InstanceDecoder(nn.Module):
             "feats": feats,
             "maxiter": maxiter,
         }
+        if train and skips_t is not None:
+            const["skips_t"] = tuple(skips_t)
         xs = {
             "idx": perm[:, :k_static].T,          # (K, B)
             "k": jnp.arange(k_static, dtype=jnp.int32),

@@ -406,9 +406,10 @@ class AttenDecoder(nn.Module):
 
     def __call__(
         self, point_flat, feats, sem_mask, gold=None, anchorpro=None,
-        train: bool = False,
+        train: bool = False, skips_t=None,
     ) -> Tuple[List[Optional[jnp.ndarray]], List[jnp.ndarray]]:
-        skips_t = self.transform_skips(feats, train)
+        if skips_t is None:
+            skips_t = self.transform_skips(feats, train)
         return self.decode(
-            point_flat, skips_t, sem_mask, gold, anchorpro, train
+            point_flat, list(skips_t), sem_mask, gold, anchorpro, train
         )

@@ -198,6 +198,7 @@ class ReSeg(nn.Module):
         mode: str = "loss",
         max_instances: Optional[int] = None,
         stop_params: Optional[Tuple] = None,
+        aux: Optional[Dict[str, Any]] = None,
     ):
         """images: (B, H, W, 21) standardized inputs (NHWC).
 
@@ -207,11 +208,6 @@ class ReSeg(nn.Module):
         mode='semantic' returns sem_probs only.
         """
         cfg = self.cfg
-        x_dec, skips, sem_logits = self._backbone(images, train)
-
-        if mode == "semantic":
-            return jax.nn.softmax(sem_logits, axis=-1)
-
         decoder = InstanceDecoder(
             cfg=cfg.decoder,
             max_n_objects=cfg.data.max_n_objects,
@@ -219,20 +215,59 @@ class ReSeg(nn.Module):
             extract_loop=self.extract_loop,
             name="decoder",
         )
-        x_enc = _InsStem(cfg.decoder.d_model, dtype=self.dtype, name="ins_stem")(
-            x_dec, train
-        )
-        count_logits = None
-        if cfg.model.use_count_head:
-            count_logits = _CountHead(
-                n_classes=cfg.model.count_classes, dtype=self.dtype,
-                name="count_head",
-            )(skips[-1])
-        density = None
-        if cfg.model.use_density_head:
-            density = _DensityHead(dtype=self.dtype, name="density_head")(
-                skips
+        if mode == "loss_tail":
+            # stage B of the hoisted train step (runtime/train.py): the
+            # backbone/stem/head outputs arrive precomputed via ``aux``
+            # from the mode='loss_prep' apply — only the attend + glimpse
+            # scan runs here.  Gradients flow through both applies (they
+            # execute inside one jitted loss_fn).
+            sem_logits = aux["sem_logits"]
+            sem_mask = aux["sem_mask"]
+            x_enc = aux["x_enc"]
+            skips = list(aux["skips"])
+            count_logits = aux.get("count_logits")
+            density = aux.get("density")
+        else:
+            x_dec, skips, sem_logits = self._backbone(images, train)
+
+            if mode == "semantic":
+                return jax.nn.softmax(sem_logits, axis=-1)
+
+            x_enc = _InsStem(
+                cfg.decoder.d_model, dtype=self.dtype, name="ins_stem"
+            )(x_dec, train)
+            count_logits = None
+            if cfg.model.use_count_head:
+                count_logits = _CountHead(
+                    n_classes=cfg.model.count_classes, dtype=self.dtype,
+                    name="count_head",
+                )(skips[-1])
+            density = None
+            if cfg.model.use_density_head:
+                density = _DensityHead(dtype=self.dtype, name="density_head")(
+                    skips
+                )
+
+        if mode == "loss_prep":
+            # stage A of the hoisted train step: everything
+            # glimpse-independent EXCEPT the attend (which needs the
+            # instance targets and mutates its BN stats inside the loss
+            # apply) — backbone, stem, counting heads, plus ONE train-mode
+            # evaluation of the decoder's skip-feature transforms.
+            sem_mask = jnp.argmax(sem_onehot, axis=-1)[..., None]
+            sem_mask = sem_mask.astype(jnp.float32)
+            skips_t = decoder(
+                x_enc, sem_mask, feats=skips, train=train, mode="skips"
             )
+            return {
+                "sem_logits": sem_logits,
+                "sem_mask": sem_mask,
+                "x_enc": x_enc,
+                "skips": tuple(skips),
+                "skips_t": tuple(skips_t),
+                "count_logits": count_logits,
+                "density": density,
+            }
 
         if mode == "density":
             # head-training / diagnosis path: backbone + density map only
@@ -253,16 +288,22 @@ class ReSeg(nn.Module):
             out["sem_mask"] = sem_mask
             return out
 
-        if mode == "loss":
+        if mode in ("loss", "loss_tail"):
             # GT semantic argmax as the decoder mask whenever labels are
             # given — the reference's 4-arg branch applies to BOTH train
             # and validation minibatches (reseg.py:117-120); the predicted
             # mask is only used on the label-free inference path.
-            sem_mask = jnp.argmax(sem_onehot, axis=-1)[..., None]
-            sem_mask = sem_mask.astype(jnp.float32)
+            if mode == "loss":
+                sem_mask = jnp.argmax(sem_onehot, axis=-1)[..., None]
+                sem_mask = sem_mask.astype(jnp.float32)
+                skips_t = None
+            else:
+                # hoisted path: stage A already computed the mask and the
+                # skip transforms (cfg.hoist_skips_train)
+                skips_t = aux.get("skips_t")
             losses = decoder(
                 x_enc, sem_mask, ins_target, n_objects, skips, train=train,
-                mode="loss",
+                mode="loss", skips_t=skips_t,
             )
             if count_logits is not None:
                 losses["count_logits"] = count_logits

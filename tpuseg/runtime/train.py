@@ -105,6 +105,40 @@ def total_cost(
     return cost, metrics
 
 
+_BN_MOMENTUM = 0.9  # flax BatchNorm default in tpuseg.nn.blocks._BN
+
+
+def _merge_hoisted_stats(old, mut1, mut2, k: int):
+    """Combine the two hoisted applies' batch_stats (cfg.hoist_skips_train).
+
+    flax returns the FULL collection from each apply (untouched leaves pass
+    through at their input values), and the two stages touch DISJOINT
+    module sets — stage A: backbone/stem/heads + the decoder's skip
+    transforms; stage B: attend + the glimpse scan (the transforms are
+    skipped there because ``skips_t`` is supplied).  So the exact merge is
+    delta-additive per leaf:
+
+        final = old + (mut1 - old) * f + (mut2 - old)
+
+    where ``f`` maps stage A's ONE BN running-stat update onto the K
+    identical updates the unhoisted glimpse scan would have applied:
+    flax BatchNorm does ra' = m*ra + (1-m)*batch, so K identical updates
+    give ra_K = m^K*ra + (1-m^K)*batch = ra + (ra_1 - ra)*(1-m^K)/(1-m).
+    ``f`` applies only to the ``decoder`` subtree (everything else runs
+    once per step in the unhoisted path too); it is exact when the K
+    scan-side transform inputs are identical, i.e. drop_rate == 0 (the
+    transforms depend only on the UNet skips)."""
+    f = (1.0 - _BN_MOMENTUM**k) / (1.0 - _BN_MOMENTUM)
+    out = {}
+    for key in old:
+        fac = f if key == "decoder" else 1.0
+        out[key] = jax.tree.map(
+            lambda o, a, b, fac=fac: o + (a - o) * fac + (b - o),
+            old[key], mut1[key], mut2[key],
+        )
+    return out
+
+
 def make_train_step(cfg: Config, model, train_cnn: bool = True):
     """Returns train_step(state, batch, rng) -> (state, metrics).
 
@@ -112,7 +146,18 @@ def make_train_step(cfg: Config, model, train_cnn: bool = True):
                 ins_masks (B,H,W,N), n_objects (B,)).
     ``train_cnn=False`` freezes the UNet backbone (reference
     model.py:199-201) by zeroing its gradients.
+
+    With ``cfg.decoder.hoist_skips_train`` (default) the step runs as TWO
+    applies inside one jitted loss: stage A (mode='loss_prep') computes
+    everything glimpse-independent — backbone, stem, counting heads, ONE
+    train-mode pass of the decoder's skip-feature transforms — and stage B
+    (mode='loss_tail') runs only the attend + glimpse scan on the hoisted
+    outputs.  Gradients flow through both applies; the transform BN
+    running stats get the exact momentum^K fix-up (see
+    ``_merge_hoisted_stats``).  The reference instead recomputes the skip
+    transforms inside every glimpse iteration (attenet2.py:377).
     """
+    hoist = cfg.decoder.hoist_skips_train
 
     def loss_fn(params, state: TrainState, batch, rng):
         variables = {
@@ -121,17 +166,48 @@ def make_train_step(cfg: Config, model, train_cnn: bool = True):
             "decoder_state": state.decoder_state,
         }
         r1, r2 = jax.random.split(rng)
-        (sem_logits, _, dec_losses), mut = model.apply(
-            variables,
-            prepare_images(batch["images"]),
-            batch["sem_onehot"],
-            batch["ins_masks"],
-            batch["n_objects"],
-            train=True,
-            mode="loss",
-            rngs={"glimpse": r1, "dropout": r2},
-            mutable=["batch_stats", "decoder_state"],
-        )
+        images = prepare_images(batch["images"])
+        if hoist:
+            aux, mut1 = model.apply(
+                variables,
+                images,
+                batch["sem_onehot"],
+                train=True,
+                mode="loss_prep",
+                rngs={"dropout": r2},
+                mutable=["batch_stats"],
+            )
+            (sem_logits, _, dec_losses), mut2 = model.apply(
+                variables,
+                images,
+                batch["sem_onehot"],
+                batch["ins_masks"],
+                batch["n_objects"],
+                train=True,
+                mode="loss_tail",
+                aux=aux,
+                rngs={"glimpse": r1, "dropout": r2},
+                mutable=["batch_stats", "decoder_state"],
+            )
+            mut = {
+                "batch_stats": _merge_hoisted_stats(
+                    state.batch_stats, mut1["batch_stats"],
+                    mut2["batch_stats"], cfg.decoder.max_iter,
+                ),
+                "decoder_state": mut2["decoder_state"],
+            }
+        else:
+            (sem_logits, _, dec_losses), mut = model.apply(
+                variables,
+                images,
+                batch["sem_onehot"],
+                batch["ins_masks"],
+                batch["n_objects"],
+                train=True,
+                mode="loss",
+                rngs={"glimpse": r1, "dropout": r2},
+                mutable=["batch_stats", "decoder_state"],
+            )
         # bf16 compute path (VERDICT r3 weak #1): the model may run in
         # bfloat16 (params/optimizer stay f32 — flax dtype affects
         # activations only); losses are always accumulated in f32.  The
