@@ -96,6 +96,7 @@ def main(
     resume=True,
     out="/tmp/tpuseg_r3/hard_ckpt.msgpack",
     install_bar=0.0,
+    bf16=False,
 ):
     cfg = cvppp_config()
     cfg = dataclasses.replace(
@@ -120,7 +121,10 @@ def main(
     train_ds = SegRecordDataset(f"{root}/train")
     val_ds = SegRecordDataset(f"{root}/val")
 
-    model = build_model(cfg)
+    # bf16 compute (params/optimizer stay f32, loss boundary f32 — same
+    # path as `train.py --bf16`); eval runs the SAME bf16 model so
+    # selection scores what the flag would ship
+    model = build_model(cfg, dtype=jnp.bfloat16 if bf16 else None)
     variables = init_variables(cfg, model, seed=cfg.train.seed)
     asset = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), os.pardir, "assets",
@@ -248,7 +252,8 @@ if __name__ == "__main__":
     p.add_argument("--no_resume", action="store_true")
     p.add_argument("--out", default="/tmp/tpuseg_r3/hard_ckpt.msgpack")
     p.add_argument("--install_bar", type=float, default=0.0)
+    p.add_argument("--bf16", action="store_true")
     a = p.parse_args()
     main(a.epochs, a.res, a.n_train, a.n_val, a.batch_size, a.eval_every,
          a.lr0, a.lr_min, a.max_leaves, a.min_leaves, a.dic_weight,
-         not a.no_resume, a.out, a.install_bar)
+         not a.no_resume, a.out, a.install_bar, a.bf16)
