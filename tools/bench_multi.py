@@ -27,7 +27,7 @@ if _REPO not in sys.path:
 import numpy as np
 
 
-def measure_train_steps(n_steps=10, res=256, batch=8):
+def measure_train_steps(n_steps=10, res=256, batch=8, dtype=None):
     import jax
     import jax.numpy as jnp
 
@@ -45,7 +45,7 @@ def measure_train_steps(n_steps=10, res=256, batch=8):
         ),
         train=dataclasses.replace(cfg.train, batch_size=batch),
     )
-    model = build_model(cfg)
+    model = build_model(cfg, dtype=dtype)
     variables = init_variables(cfg, model, seed=0)
     state = create_train_state(cfg, variables)
     step = make_train_step(cfg, model)
@@ -160,11 +160,16 @@ def main():
         "median": round(sorted(vals)[len(vals) // 2], 2),
     }
 
-    # 3. train step/s
+    # 3. train step/s — f32 (the train.py default) AND the --bf16
+    # compute path (f32 params/optimizer, f32 loss boundary)
     sps, cost = measure_train_steps()
     out["train_steps_per_sec_256_b8"] = round(sps, 3)
     out["train_images_per_sec_256_b8"] = round(sps * 8, 2)
     out["train_cost_sanity"] = round(cost, 2)
+    sps_bf, cost_bf = measure_train_steps(dtype=jnp.bfloat16)
+    out["train_steps_per_sec_256_b8_bf16"] = round(sps_bf, 3)
+    out["train_images_per_sec_256_b8_bf16"] = round(sps_bf * 8, 2)
+    out["train_cost_sanity_bf16"] = round(cost_bf, 2)
 
     with open("BENCH_EXTRA.json", "w") as f:
         json.dump(out, f, indent=2)
