@@ -52,7 +52,7 @@ def make_batch(res: int, batch: int, max_n: int = 16, seed: int = 0):
     }
 
 
-def build_step(res: int, batch: int, dtype, remat: bool):
+def build_step(res: int, batch: int, dtype, remat: bool, device_aug: bool = False):
     import jax.numpy as jnp
 
     from tpuseg.cli.common import build_model, init_variables
@@ -73,15 +73,15 @@ def build_step(res: int, batch: int, dtype, remat: bool):
     )
     variables = init_variables(cfg, model, seed=0)
     state = create_train_state(cfg, variables)
-    step = make_train_step(cfg, model)
+    step = make_train_step(cfg, model, device_aug=device_aug)
     return cfg, state, step
 
 
-def time_config(res, batch, dtype, remat, iters):
+def time_config(res, batch, dtype, remat, iters, device_aug=False):
     import jax
 
     t_c0 = time.perf_counter()
-    cfg, state, step = build_step(res, batch, dtype, remat)
+    cfg, state, step = build_step(res, batch, dtype, remat, device_aug)
     batch_d = make_batch(res, batch)
     key = jax.random.PRNGKey(0)
     try:
@@ -113,6 +113,9 @@ def main():
     ap.add_argument("--dtypes", default="bf16,f32")
     ap.add_argument("--remat", default="1")
     ap.add_argument("--iters", type=int, default=10)
+    ap.add_argument("--device_aug", action="store_true",
+                    help="time the step WITH on-device augmentation fused "
+                         "in (tpuseg/data/device_aug.py)")
     ap.add_argument("--trace", default="",
                     help="dump a jax.profiler trace of the FIRST config")
     args = ap.parse_args()
@@ -129,7 +132,8 @@ def main():
             for batch in [int(b) for b in args.batches.split(",")]:
                 tag = f"{dtype}_remat{int(remat)}_b{batch}"
                 results[tag] = time_config(
-                    args.res, batch, dtype, remat, args.iters
+                    args.res, batch, dtype, remat, args.iters,
+                    args.device_aug,
                 )
                 print(tag, results[tag], flush=True)
                 if first and args.trace and "error" not in results[tag]:

@@ -69,6 +69,11 @@ def main(argv=None):
                              "(params/optimizer stay float32)")
     parser.add_argument("--tensorboard", action="store_true",
                         help="write TensorBoard scalars under <run_dir>/tb")
+    parser.add_argument("--device_aug", action="store_true",
+                        help="apply the static-shape augmentation subset "
+                             "on device inside the jitted train step "
+                             "(D4 + color jitter/gamma/channel swap/"
+                             "grayscale); host collate then skips PIL")
     opt = parser.parse_args(argv)
 
     cfg = get_config(opt.dataset)
@@ -94,7 +99,13 @@ def main(argv=None):
     val_ds = open_dataset(opt.val_data or val_path)
     print(f"train: {len(train_ds)} samples, val: {len(val_ds)} samples")
 
-    train_collate = AlignCollate("training", cfg.data, cfg.train.batch_size)
+    # --device_aug: collate WITHOUT host PIL augmentation — the jitted
+    # train step applies the on-device subset (tpuseg/data/device_aug.py)
+    # so a low-core host can't starve the chip
+    train_collate = AlignCollate(
+        "test" if opt.device_aug else "training", cfg.data,
+        cfg.train.batch_size,
+    )
     val_collate = AlignCollate("test", cfg.data, cfg.train.batch_size)
     train_loader = PrefetchLoader(
         train_ds, train_collate, cfg.train.batch_size, shuffle=True,
@@ -137,6 +148,7 @@ def main(argv=None):
         # decoder iterations unconditionally into the CWD
         # (attenet2.py:247-251); here behind --debug, under the run dir
         debug_dir=os.path.join(run_dir, "debug") if opt.debug else None,
+        device_aug=opt.device_aug,
     )
 
 

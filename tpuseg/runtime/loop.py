@@ -70,6 +70,7 @@ def fit(
     tensorboard: bool = False,
     debug_dir: Optional[str] = None,
     debug_every: int = 40,
+    device_aug: bool = False,
 ) -> TrainState:
     """train_batches/val_batches: callables epoch -> iterable of batch dicts
     (host numpy or device arrays, fixed shapes).
@@ -82,7 +83,8 @@ def fit(
     """
     n_epochs = n_epochs or cfg.train.n_epochs
     rng = rng if rng is not None else jax.random.PRNGKey(cfg.train.seed)
-    train_step = make_train_step(cfg, model, train_cnn=cfg.train.train_cnn)
+    train_step = make_train_step(cfg, model, train_cnn=cfg.train.train_cnn,
+                                 device_aug=device_aug)
     eval_step = make_eval_step(cfg, model)
     # periodic debug-image dumps (reference attenet2.py:247-251 dumps
     # every 40 decoder iterations unconditionally into the CWD; here an

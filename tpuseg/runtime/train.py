@@ -139,7 +139,8 @@ def _merge_hoisted_stats(old, mut1, mut2, k: int):
     return out
 
 
-def make_train_step(cfg: Config, model, train_cnn: bool = True):
+def make_train_step(cfg: Config, model, train_cnn: bool = True,
+                    device_aug: bool = False):
     """Returns train_step(state, batch, rng) -> (state, metrics).
 
     batch: dict(images (B,H,W,21), sem_onehot (B,H,W,C),
@@ -156,6 +157,12 @@ def make_train_step(cfg: Config, model, train_cnn: bool = True):
     running stats get the exact momentum^K fix-up (see
     ``_merge_hoisted_stats``).  The reference instead recomputes the skip
     transforms inside every glimpse iteration (attenet2.py:377).
+
+    ``device_aug=True`` applies the on-device augmentation subset
+    (tpuseg/data/device_aug.py) inside the jitted step — feed it
+    batches collated WITHOUT host augmentation (AlignCollate 'test'
+    mode); the PIL host path otherwise starves the chip on low-core
+    hosts.
     """
     hoist = cfg.decoder.hoist_skips_train
 
@@ -221,6 +228,11 @@ def make_train_step(cfg: Config, model, train_cnn: bool = True):
 
     @jax.jit
     def train_step(state: TrainState, batch, rng):
+        if device_aug:
+            from tpuseg.data.device_aug import device_augment
+
+            rng, r_aug = jax.random.split(rng)
+            batch = device_augment(batch, r_aug, cfg.data)
         grads, (metrics, mut) = jax.grad(loss_fn, has_aux=True)(
             state.params, state, batch, rng
         )
