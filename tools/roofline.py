@@ -6,9 +6,8 @@ production cap, and the 256^2 B=8 train step) this tool:
   1. lowers + compiles the jitted program and reads XLA's
      ``compiled.cost_analysis()`` — ``flops`` and ``bytes accessed``
      (on the tunnelled axon backend the analysis comes from the real
-     TPU executable; if the tunnel does not expose it, flops fall back
-     to a CPU-compiled analysis of the same HLO and bytes are marked
-     n/a);
+     TPU executable; if the tunnel does not expose it, flops/bytes are
+     reported n/a for that stage — there is no CPU fallback);
   2. times the stage post-compile (amortized async dispatch, forced
      np.asarray sync — block_until_ready does not sync the tunnel);
   3. reports arithmetic intensity (FLOP/byte), achieved TFLOP/s and
@@ -44,7 +43,8 @@ MARK_END = "<!-- ROOFLINE:END -->"
 
 def cost_of(jitted, *args):
     """(flops, bytes) from the compiled executable's cost analysis.
-    Returns (flops, bytes, source) — bytes may be None if unavailable."""
+    Both come back None (rendered n/a) if the tunnel does not expose
+    cost_analysis for this executable — no fallback exists (ADVICE r4)."""
     lowered = jitted.lower(*args)
     try:
         ca = lowered.compile().cost_analysis()
@@ -52,21 +52,31 @@ def cost_of(jitted, *args):
             ca = ca[0]
         flops = float(ca.get("flops", 0.0))
         byts = ca.get("bytes accessed")
-        return flops, (float(byts) if byts is not None else None), "device"
+        return flops, (float(byts) if byts is not None else None)
     except Exception as e:  # tunnel may not expose cost analysis
         print(f"  device cost_analysis unavailable ({e}); "
-              "falling back to CPU analysis for flops", file=sys.stderr)
-        return None, None, "unavailable"
+              "reporting n/a for this stage", file=sys.stderr)
+        return None, None
 
 
 def time_fn(fn, *args, iters=8, sync=None):
+    """Device-time measurement.  Sync pulls ONE element per output, not
+    the full tensor: np.asarray on a 176 MB activation would measure the
+    ~60 MB/s tunnel, not the chip (the production transfer cost is
+    bench.py's business — this tool isolates compute)."""
     if sync is None:
-        sync = lambda o: [np.asarray(t) for t in (o if isinstance(o, tuple) else (o,))]
+        def sync(o):
+            outs = o if isinstance(o, tuple) else (o,)
+            return [
+                np.asarray(t[(0,) * t.ndim] if hasattr(t, "ndim") and t.ndim
+                           else t)
+                for t in outs
+            ]
     sync(fn(*args))  # compile + warm
     t0 = time.perf_counter()
-    outs = [fn(*args) for _ in range(iters)]
-    for o in outs:
-        sync(o)
+    for _ in range(iters - 1):
+        fn(*args)  # async dispatch; device executes in order
+    sync(fn(*args))  # draining the last output drains the queue
     return (time.perf_counter() - t0) / iters
 
 
@@ -138,7 +148,7 @@ def main():
         ("full infer, k=32 cap", f_inf, (variables, x_u8),
          "production pred_list program"),
     ]:
-        flops, byts, src = cost_of(fn, *fargs)
+        flops, byts = cost_of(fn, *fargs)
         secs = time_fn(fn, *fargs, iters=args.iters)
         rows.append(row(name, flops, byts, secs, note))
         print(rows[-1], flush=True)
@@ -150,7 +160,7 @@ def main():
         batch_d = make_batch(256, 8)
         key = jax.random.PRNGKey(0)
         jstep = jax.jit(step) if not hasattr(step, "lower") else step
-        flops, byts, src = cost_of(jstep, state, batch_d, key)
+        flops, byts = cost_of(jstep, state, batch_d, key)
 
         def run_step(state, batch_d, key):
             return step(state, batch_d, key)
@@ -213,6 +223,27 @@ def main():
                "speed-of-light), the gap being small-C lane padding, "
                "sequential round scan, and per-dispatch tunnel latency "
                "(PERF.md cost map)." if ceiling_ms else "."),
+        ]
+    trn = next((r for r in rows if r["stage"].startswith("train step")), None)
+    if trn and trn["gflop"] and trn["gb"]:
+        t_ceiling_s = max(
+            trn["gflop"] * 1e9 / (V5E_PEAK_TFLOPS_BF16 * 1e12),
+            trn["gb"] * 1e9 / (V5E_PEAK_HBM_GBS * 1e9),
+        )
+        t_bound = ("COMPUTE" if trn["ai_flop_per_byte"] > ridge
+                   else "BANDWIDTH")
+        lines += [
+            "",
+            f"The train step is {t_bound}-bound at "
+            f"{trn['ai_flop_per_byte']} FLOP/byte (remat re-reads the "
+            f"pyramid activations; Adadelta's two f32 accumulators add "
+            f"2x param traffic): roofline-ideal "
+            f"{t_ceiling_s*1e3:.1f} ms/step "
+            f"({1.0/t_ceiling_s:.1f} steps/s ceiling) vs {trn['ms']} "
+            f"measured ({100*t_ceiling_s*1e3/trn['ms']:.0f}% of "
+            f"speed-of-light, {1e3/trn['ms']:.2f} steps/s). HBM is the "
+            f"binding resource; the MXU runs at "
+            f"{trn['pct_mxu_peak']}% of peak.",
         ]
     lines.append(MARK_END)
     md = "\n".join(lines)
