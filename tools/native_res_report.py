@@ -47,21 +47,27 @@ def sh(cmd):
 
 
 def parse_metrics(ev_out: str):
-    """evaluate.py prints 'SBD: x' / '|DiC|: y' style lines; pull the
-    floats whatever the exact labels are."""
-    sbd = dic = fg = None
+    """Anchored parse of evaluate.py's exact labels
+    (tpuseg/cli/evaluate.py:125-127) — fails loudly on no match instead
+    of grabbing a number from an unrelated line (ADVICE r4)."""
+    pats = {
+        "sbd": r"^MEAN SBD\s*:\s*([-+0-9.eE]+|nan)\s*$",
+        "dic": r"^MEAN \|DIC\|\s*:\s*([-+0-9.eE]+|nan)\s*$",
+        "fg": r"^MEAN FG DICE\s*:\s*([-+0-9.eE]+|nan)\s*$",
+    }
+    vals = {}
     for line in ev_out.splitlines():
-        low = line.lower()
-        nums = re.findall(r"[-+]?\d*\.\d+|\d+", line)
-        if not nums:
-            continue
-        if "sbd" in low and sbd is None:
-            sbd = float(nums[-1])
-        elif "|dic" in low and dic is None:
-            dic = float(nums[-1])
-        elif "fg" in low and fg is None:
-            fg = float(nums[-1])
-    return sbd, dic, fg
+        for key, pat in pats.items():
+            m = re.match(pat, line.strip())
+            if m and key not in vals:
+                vals[key] = float(m.group(1))
+    missing = [k for k in pats if k not in vals]
+    if missing:
+        raise RuntimeError(
+            f"evaluate.py output did not match expected labels {missing}; "
+            f"raw output:\n{ev_out}"
+        )
+    return vals["sbd"], vals["dic"], vals["fg"]
 
 
 def main():

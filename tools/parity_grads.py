@@ -231,6 +231,11 @@ def main():
                          "(Adadelta's eps=1e-6 state amplifies fp noise)")
     ap.add_argument("--rel_concat", type=float, default=1e-3,
                     help="gate on the concatenated gradient vector")
+    ap.add_argument("--rel_major", type=float, default=1e-2,
+                    help="per-leaf gate applied only to leaves whose "
+                         "||g_ref|| exceeds 1e-5 of the global grad norm "
+                         "(ADVICE r4: a mid-norm leaf regression must not "
+                         "hide under the concat aggregate)")
     ap.add_argument("--rel_update_concat", type=float, default=1e-2,
                     help="gate on the concatenated first-update deltas")
     ap.add_argument("--out", default=os.path.join(_REPO, "PARITY.md"))
@@ -310,6 +315,15 @@ def main():
     cg = concat_rel(ref_grads, grads)
     cu = concat_rel(delta_ref, delta_tpu, exclude=dormant_leaves)
 
+    # ADVICE r4 (low): secondary per-leaf gate on MAJOR leaves — those
+    # whose reference norm exceeds a floor relative to the global norm.
+    # The concat metric is the headline (near-zero-norm BN biases are
+    # fp32 noise), but a genuine divergence in one mid-norm leaf must
+    # still fail the verdict.
+    norm_floor = ref_norm * 1e-5
+    major_rows = [r for r in grad_rows if r[1] > norm_floor]
+    major_over = [r for r in major_rows if r[2] > args.rel_major]
+
     # raw grads on disk so the distribution stays auditable
     dump = os.path.join("/tmp", "parity_grads_dump.npz")
     np.savez_compressed(
@@ -345,12 +359,23 @@ def main():
         f"* per-leaf first update: {usum['n']} leaves, median rel "
         f"{usum['median']:.2e}, p90 {usum['p90']:.2e}, {usum['n_over']} "
         f"over {args.rel_update:.0e}",
+        f"* per-leaf MAJOR gate (||g_ref|| > 1e-5 of global norm): "
+        f"{len(major_rows)} leaves, {len(major_over)} over "
+        f"{args.rel_major:.0e}",
         f"* raw grad trees dumped to {dump} for audit",
-        f"* dormant reference params (no grad; e.g. the untaken L0Layer "
-        f"branch, attenet2.py:489): {len(dormant)} torch params / "
-        f"{len(dormant_leaves)} leaves — grad parity checked as 0 vs 0; "
-        f"excluded from the update table because torch's Adadelta skips "
-        f"None-grad params while optax weight-decays every leaf",
+        # ADVICE r4 (low): the dormant torch params (untaken L0Layer
+        # branch, attenet2.py:489) are on the weight converter's skip
+        # list ('decoder.pred.'), so they map to 0 flax leaves — state
+        # plainly whether they were excluded or actually compared
+        (f"* dormant reference params (no grad): {len(dormant)} torch "
+         f"params / {len(dormant_leaves)} surviving flax leaves — "
+         + ("grad parity checked as 0 vs 0; excluded from the update "
+            "table because torch's Adadelta skips None-grad params "
+            "while optax weight-decays every leaf"
+            if dormant_leaves else
+            "all on the converter's skip list, so they are EXCLUDED "
+            "from every comparison (no flax counterpart exists; "
+            "nothing is checked 0-vs-0)")),
         "",
         "Worst gradient leaves:",
         "",
@@ -363,12 +388,13 @@ def main():
               "| leaf | ||d_ref|| | rel L2 |", "|---|---|---|"]
     for k, na, rel in usum["worst"]:
         lines.append(f"| {k} | {na:.3e} | {rel:.2e} |")
-    grad_ok = cg <= args.rel_concat
+    grad_ok = cg <= args.rel_concat and not major_over
     upd_ok = cu <= args.rel_update_concat
     lines += [
         "",
-        f"**Verdict (concatenated-vector gates): gradients "
-        f"{'PASS' if grad_ok else 'FAIL'} ({cg:.2e}), "
+        f"**Verdict (concat gates + major-leaf gate): gradients "
+        f"{'PASS' if grad_ok else 'FAIL'} (concat {cg:.2e}, "
+        f"{len(major_over)} major leaves over {args.rel_major:.0e}), "
         f"first update {'PASS' if upd_ok else 'FAIL'} ({cu:.2e}).**",
         MARK_END,
     ]

@@ -97,6 +97,8 @@ def main(
     out="/tmp/tpuseg_r3/hard_ckpt.msgpack",
     install_bar=0.0,
     bf16=False,
+    seed=31,
+    swa_frac=0.0,
 ):
     cfg = cvppp_config()
     cfg = dataclasses.replace(
@@ -111,7 +113,7 @@ def main(
     root = "/tmp/tpuseg_r3"
     os.makedirs(root, exist_ok=True)
     write_synthetic_records(
-        f"{root}/train", n_train, seed=31, height=res, width=res,
+        f"{root}/train", n_train, seed=seed, height=res, width=res,
         min_leaves=min_leaves, max_leaves=max_leaves, hard=True,
     )
     write_synthetic_records(
@@ -149,6 +151,13 @@ def main(
     # resumed asset is the incumbent, not a -inf placeholder
     best_score = m0["sbd"] - dic_weight * m0["dic"] if resume else -1e9
     best_epoch, best_payload, best_m = -1, None, m0
+    # SWA (VERDICT r4 #2): tail-window running average of the weights,
+    # evaluated once at the end and adopted only if it beats the best
+    # single checkpoint on the same gate-aware score.  batch_stats are
+    # averaged too (an approximation; the eval below scores exactly what
+    # would ship, so a bad approximation simply loses the comparison).
+    swa_sum, swa_n = None, 0
+    swa_start = int(epochs * (1.0 - swa_frac)) if swa_frac > 0 else epochs + 1
     loader = PrefetchLoader(
         train_ds, AlignCollate("training", cfg.data, batch_size), batch_size,
         shuffle=True, seed=cfg.train.seed, n_workers=4,
@@ -177,6 +186,20 @@ def main(
             ce = f" count_err {np.mean(cerrs):.2f}" if cerrs else ""
             print(f"epoch {epoch}: cost {np.mean(costs):.3f}{ce} lr {lr:.3f} "
                   f"({time.time()-t0:.0f}s)", flush=True)
+        if epoch >= swa_start:
+            cur = jax.device_get({
+                "params": state.params,
+                "batch_stats": state.batch_stats,
+            })
+            if swa_sum is None:
+                swa_sum = jax.tree_util.tree_map(
+                    lambda x: np.asarray(x, np.float64), cur
+                )
+            else:
+                swa_sum = jax.tree_util.tree_map(
+                    lambda a, x: a + np.asarray(x, np.float64), swa_sum, cur
+                )
+            swa_n += 1
         if (epoch + 1) % eval_every == 0 or epoch == epochs - 1:
             m = evaluate_full(cfg, model, state.model_variables, val_ds, n_val)
             score = m["sbd"] - dic_weight * m["dic"]
@@ -198,6 +221,21 @@ def main(
                     f.write(flax.serialization.to_bytes(best_payload))
                 os.replace(tmp_path, out)
                 print(f"  new best @ {epoch} (saved to {out})", flush=True)
+
+    if swa_n >= 2:
+        swa_payload = jax.tree_util.tree_map(
+            lambda a: np.asarray(a / swa_n, np.float32), swa_sum
+        )
+        swa_payload["decoder_state"] = jax.device_get(state.decoder_state)
+        m = evaluate_full(cfg, model, dict(swa_payload), val_ds, n_val)
+        score = m["sbd"] - dic_weight * m["dic"]
+        print(f"  SWA({swa_n} snapshots): SBD={m['sbd']:.4f} "
+              f"FG={m['fg']:.4f} |DiC|={m['dic']:.3f} score={score:.4f}",
+              flush=True)
+        if score > best_score:
+            best_score, best_epoch, best_m = score, epochs, m
+            best_payload = swa_payload
+            print("  SWA candidate wins", flush=True)
 
     import flax.serialization
 
@@ -253,7 +291,12 @@ if __name__ == "__main__":
     p.add_argument("--out", default="/tmp/tpuseg_r3/hard_ckpt.msgpack")
     p.add_argument("--install_bar", type=float, default=0.0)
     p.add_argument("--bf16", action="store_true")
+    p.add_argument("--seed", type=int, default=31,
+                   help="training scene-pool generator seed")
+    p.add_argument("--swa_frac", type=float, default=0.0,
+                   help="tail fraction of epochs to average into an SWA "
+                        "candidate (0 disables)")
     a = p.parse_args()
     main(a.epochs, a.res, a.n_train, a.n_val, a.batch_size, a.eval_every,
          a.lr0, a.lr_min, a.max_leaves, a.min_leaves, a.dic_weight,
-         not a.no_resume, a.out, a.install_bar, a.bf16)
+         not a.no_resume, a.out, a.install_bar, a.bf16, a.seed, a.swa_frac)
