@@ -173,3 +173,93 @@ def test_predict_cluster_and_attend_variants(tmp_path):
     res2 = p.predict_attend(path)
     assert res2["ins_mask"].shape == (40, 48)
     assert res2["n_objects"] >= 0
+
+
+def test_pn_losses_match_torch_transliteration():
+    """All three PN variants vs a line-by-line torch transliteration of
+    attenet2.py:182-237 (PNloss2's undefined `self.pnloss` filled with
+    the same BCE default the port uses; test data keeps every reference
+    denominator nonzero so the port's NaN guards are inactive and the
+    comparison is against the unguarded reference math)."""
+    import torch
+
+    from tpuseg.decoder.pn_losses import pn_loss2
+
+    rng = np.random.RandomState(7)
+    b, h, w = 3, 8, 8
+    hw = h * w
+    pred = rng.rand(b, hw).astype(np.float32) * 0.8 + 0.1
+    adv = rng.randn(b, hw).astype(np.float32)
+    alpha = np.exp(rng.randn(b, hw).astype(np.float32))
+    alpha /= alpha.sum(1, keepdims=True)
+    evaline = (1.0 / np.full((b,), 20.0)).astype(np.float32)
+    gold = (rng.rand(b, hw) < 0.5).astype(np.float32)
+    gamma, fw = 2.0, 0.3
+
+    # --- PNloss (attenet2.py:182-202), focal term at weight fw ---
+    tp, ta, tal, tg = map(torch.tensor, (pred, adv, alpha, gold))
+    tev = torch.tensor(evaline)[:, None]
+    p = torch.softmax(tp * tal, dim=1)
+    p = torch.log(p.clamp(1e-7, 1.0 - 1e-7))
+    pnloss1 = -p * ta
+    t_sel = (tal > tev).float()
+    ratio = torch.sum(t_sel, dim=1) / torch.sum(tg, dim=1)
+    pc = tp.clamp(1e-7, 1.0 - 1e-7)
+    f1 = (-1 * (2 - ratio).unsqueeze(1) * (1 - pc.detach()) ** gamma
+          * torch.log(pc) * t_sel * tg)
+    f0 = (-1 * ratio.unsqueeze(1) * pc.detach() ** gamma
+          * torch.log(1 - pc) * (1 - t_sel) * tg)
+    want1 = torch.sum(pnloss1 + fw * (f1 + f0), dim=1) / b
+    got1 = pn_loss(
+        jnp.asarray(pred), jnp.asarray(adv), jnp.asarray(alpha),
+        jnp.asarray(evaline)[:, None], jnp.asarray(gold),
+        focal_gamma=gamma, focal_weight=fw,
+    )
+    np.testing.assert_allclose(np.asarray(got1), want1.numpy(), rtol=2e-5)
+
+    # --- PNloss2 (attenet2.py:211-224; dead-by-crash there) ---
+    target = (rng.rand(b, hw) < 0.5).astype(np.float32)
+    p_n = (rng.rand(b, h, w, 1) * 0.8).astype(np.float32)
+    p_re = rng.rand(b, h, w, 1).astype(np.float32) * 0.05  # < 1/N often
+    gold4 = gold.reshape(b, h, w, 1)
+    tpred, ttar = torch.tensor(pred), torch.tensor(target)
+    tpn, tpre, tg4 = map(torch.tensor, (p_n, p_re, gold4))
+    pc = tpred.clamp(1e-7, 1.0 - 1e-7)
+    ploss = -torch.sum(
+        (ttar * torch.log(pc) + (1 - ttar) * torch.log(1 - pc)).view(b, -1),
+        dim=1,
+    )
+    tpn = tpn * tg4
+    N = torch.sum(tg4.view(b, -1), dim=1)
+    sel = (tpre.view(b, -1) < (1.0 / N)[:, None]).float()
+    sel = sel.view(tg4.shape) * tg4
+    nloss = -torch.log(1 - tpn + 1e-7) * sel
+    nloss = torch.sum(nloss.view(b, -1), dim=1)
+    want2 = ploss * 1.1 + nloss / torch.sum(sel.view(b, -1), dim=1)
+    assert float(torch.sum(sel)) > 0  # unguarded denominator is live
+    got2 = pn_loss2(
+        jnp.asarray(pred), jnp.asarray(target), jnp.asarray(p_n),
+        jnp.asarray(p_re), jnp.asarray(gold4),
+    )
+    np.testing.assert_allclose(np.asarray(got2), want2.numpy(), rtol=2e-5)
+
+    # --- PNloss3 (attenet2.py:227-237) ---
+    pro = rng.randn(b, h, w, 1).astype(np.float32)
+    alpha4 = alpha.reshape(b, h, w, 1)
+    maxidx = np.zeros((b, hw), np.float32)
+    maxidx[np.arange(b), alpha.argmax(1)] = 1.0
+    maxidx = maxidx.reshape(b, h, w, 1)
+    tmi, tpro, tal4 = map(torch.tensor, (maxidx, pro, alpha4))
+    tev3, tg4 = torch.tensor(evaline), torch.tensor(gold4)
+    pk = torch.sum((tpro * tmi).view(b, -1), dim=1)
+    ploss3 = torch.relu(-pk)
+    npoint = (tal4 < tev3[:, None, None, None]).float() * tg4
+    N3 = torch.sum(npoint.view(b, -1), dim=1)
+    assert float(N3.min()) > 0
+    nloss3 = torch.sum(torch.relu(tpro * npoint).view(b, -1), dim=1)
+    want3 = ploss3 + nloss3 / N3
+    got3 = pn_loss3(
+        jnp.asarray(maxidx), jnp.asarray(pro), jnp.asarray(alpha4),
+        jnp.asarray(evaline), jnp.asarray(gold4),
+    )
+    np.testing.assert_allclose(np.asarray(got3), want3.numpy(), rtol=2e-5)

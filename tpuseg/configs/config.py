@@ -147,6 +147,17 @@ class DecoderConfig:
     # B=128), so decoding G peaks per round cuts the sequential depth of
     # the extraction scan by ~G at near-constant round cost.
     extract_group: int = 4
+    # Windowed finest-level decode (eval extraction only, PERF.md round-5
+    # lever): decode the finest TWO pyramid levels in a per-glimpse
+    # square window of this size (full-resolution pixels) instead of the
+    # whole canvas — an instance is local to its glimpse, and the finest
+    # IR chains are ~150 of the 355 ms device batch.  Window origins are
+    # quantised to a stride = window/2 grid so every crop/paste is a
+    # static-slice select (no TPU scatter/gather, which forces layout
+    # copies — PERF.md dead ends).  0 disables (decode the full canvas).
+    # Masks further than window/4 from their glimpse peak get truncated;
+    # quality impact measured on the frozen eval before defaulting on.
+    extract_window: int = 0
     # Use the Pallas fused masked-softmax kernel for the per-instance
     # hard-attention distributions (tpuseg/kernels/masked_softmax.py).
     use_pallas_softmax: bool = False

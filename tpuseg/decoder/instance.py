@@ -437,7 +437,8 @@ class _GlimpseStep(nn.Module):
             pts = jnp.stack(points, axis=1).reshape(b * G)  # (B*G,)
             if const.get("partials") is not None:
                 preds_all = bone.decode_split(
-                    pts, list(const["partials"]), G
+                    pts, list(const["partials"]), G,
+                    window=int(cfg.extract_window),
                 )
             else:
                 skips_rep = [jnp.repeat(st, G, axis=0) for st in skips_t]

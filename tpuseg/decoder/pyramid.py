@@ -116,6 +116,111 @@ def point_position_planes(
     return onehot[..., None] * code[:, None, None, :]
 
 
+def window_origin(
+    point_flat: jnp.ndarray, full_hw: Tuple[int, int], win: int
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, int, int]:
+    """Quantised decode-window origin for each glimpse point.
+
+    Origins live on a stride = win/2 grid (so every downstream crop and
+    paste is a STATIC slice selected by a one-hot — TPU scatter/gather
+    forces layout copies, PERF.md dead ends).  The grid guarantees the
+    point sits at least win/4 from every window edge (interior points).
+
+    Returns (ir, ic, onehot, n_r, n_c): per-point grid indices, the
+    (N, n_r*n_c) selection one-hot, and the grid extent.
+    """
+    H, W = full_hw
+    s = win // 2
+    n_r = max((H - win) // s + 1, 1)
+    n_c = max((W - win) // s + 1, 1)
+    row = point_flat // W
+    col = point_flat % W
+    ir = jnp.clip((row - win // 4) // s, 0, n_r - 1)
+    ic = jnp.clip((col - win // 4) // s, 0, n_c - 1)
+    onehot = jax.nn.one_hot(ir * n_c + ic, n_r * n_c, dtype=jnp.float32)
+    return ir, ic, onehot, n_r, n_c
+
+
+def select_window(
+    x: jnp.ndarray, onehot: jnp.ndarray, n_r: int, n_c: int, wl: int, sl: int
+) -> jnp.ndarray:
+    """Per-sample window crop as a one-hot select over the static grid
+    slices.  x: (N, h, w, C), onehot: (N, K=n_r*n_c) -> (N, wl, wl, C)."""
+    crops = jnp.stack(
+        [
+            x[:, r * sl : r * sl + wl, c * sl : c * sl + wl, :]
+            for r in range(n_r)
+            for c in range(n_c)
+        ]
+    )  # (K, N, wl, wl, C)
+    return jnp.einsum("knhwc,nk->nhwc", crops, onehot.astype(x.dtype))
+
+
+def select_window_grouped(
+    x: jnp.ndarray, onehot: jnp.ndarray, group: int, n_r: int, n_c: int,
+    wl: int, sl: int,
+) -> jnp.ndarray:
+    """Window crop of a batch-B tensor with per-(B,group) origins.
+    x: (B, h, w, C), onehot: (B*group, K) -> (B, group, wl, wl, C)."""
+    b = x.shape[0]
+    crops = jnp.stack(
+        [
+            x[:, r * sl : r * sl + wl, c * sl : c * sl + wl, :]
+            for r in range(n_r)
+            for c in range(n_c)
+        ]
+    )  # (K, B, wl, wl, C)
+    oh = onehot.reshape(b, group, -1).astype(x.dtype)
+    return jnp.einsum("kbhwc,bgk->bghwc", crops, oh)
+
+
+def paste_window(
+    win_vals: jnp.ndarray, onehot: jnp.ndarray, n_r: int, n_c: int,
+    full_hw: Tuple[int, int], sl: int, fill,
+) -> jnp.ndarray:
+    """Paste per-sample windows back onto the full canvas (one-hot over
+    the static pad positions; pixels outside the window get ``fill``).
+    win_vals: (N, wl, wl, C) -> (N, H, W, C)."""
+    H, W = full_hw
+    wl = win_vals.shape[1]
+    out = None
+    cover = None
+    ones = jnp.ones_like(win_vals[..., :1])
+    for r in range(n_r):
+        for c in range(n_c):
+            k = r * n_c + c
+            pads = (
+                (0, 0), (r * sl, H - wl - r * sl), (c * sl, W - wl - c * sl),
+                (0, 0),
+            )
+            wk = onehot[:, k][:, None, None, None].astype(win_vals.dtype)
+            p = jnp.pad(win_vals, pads) * wk
+            cv = jnp.pad(ones, pads) * wk
+            out = p if out is None else out + p
+            cover = cv if cover is None else cover + cv
+    fill = jnp.asarray(fill, win_vals.dtype)
+    return jnp.where(cover > 0, out, fill)
+
+
+def point_position_planes_win(
+    point_flat: jnp.ndarray, full_hw: Tuple[int, int],
+    level_hw: Tuple[int, int], origin_rl: jnp.ndarray,
+    origin_cl: jnp.ndarray, win_l: int,
+) -> jnp.ndarray:
+    """Windowed ``point_position_planes``: the same per-sample channel
+    code, with the one-hot pixel written at window-local coordinates
+    (level coords minus the window origin at this level)."""
+    row_l, col_l, code = point_level_code(point_flat, full_hw, level_hw)
+    rw = row_l - origin_rl
+    cw = col_l - origin_cl
+    yy = jax.lax.broadcasted_iota(jnp.int32, (win_l, win_l), 0)
+    xx = jax.lax.broadcasted_iota(jnp.int32, (win_l, win_l), 1)
+    onehot = (
+        (yy[None] == rw[:, None, None]) & (xx[None] == cw[:, None, None])
+    ).astype(jnp.float32)
+    return onehot[..., None] * code[:, None, None, :]
+
+
 def _maxpool(x: jnp.ndarray, f: int) -> jnp.ndarray:
     if f == 1:
         return x
@@ -278,6 +383,55 @@ class _UpAttenLevel(nn.Module):
         x = self.dil2a(x, False)
         return self.dil2b(x, False)
 
+    def call_split_win(self, x_prev, part_win, point_flat, mask_pre,
+                       group: int, origin_idx, full_hw):
+        """Windowed ``call_split``: the level computes only a per-glimpse
+        window (PERF.md round-5 lever — the finest IR chains are the
+        dominant device cost and an instance is local to its glimpse).
+
+        part_win: (B, group, wl, wl, out_ch) — the conv1 partial already
+        cropped per glimpse (``select_window_grouped``); x_prev/mask_pre
+        are window-aligned at the previous level (the stride-2 up-conv
+        commutes exactly with the aligned crop); origin_idx: (ir, ic)
+        grid indices from ``window_origin`` (origins at this level are
+        ``idx * wl/2`` — the finest-grid stride divides through every
+        factor because window % (2*factor) == 0 is asserted upstream).
+        """
+        b, g = part_win.shape[:2]
+        wl = part_win.shape[2]
+        k, scale, shift = self._conv1_folded()
+        S, U = self._conv1_sections()
+        dt = self.dtype or part_win.dtype
+        bg = point_flat.shape[0]
+        ir, ic = origin_idx
+        sl = wl // 2
+        pos = point_position_planes_win(
+            point_flat, full_hw,
+            (full_hw[0] // self.factor, full_hw[1] // self.factor),
+            ir * sl, ic * sl, wl,
+        )
+        ks = scale[None, :]
+        x1u = self.up(x_prev)
+        gate = (
+            1.0 if mask_pre is None else _prev_mask_gate(mask_pre, (wl, wl))
+        )
+        x_in = jnp.concatenate(
+            [(x1u * gate).astype(dt), pos.astype(dt)], axis=-1
+        )
+        kv = jnp.concatenate([k[S : S + U], k[S + U + 1 :]], axis=0)
+        yv = jax.lax.dot_general(
+            x_in, (kv * ks).astype(dt), (((3,), (0,)), ((), ())),
+        )
+        x = nn.relu(
+            yv.reshape(b, g, wl, wl, self.out_ch) + part_win
+        ).reshape(bg, wl, wl, self.out_ch)
+
+        x = self.dil1a(x, False)
+        x = self.dil1b(x, False)
+        x = x + x1u
+        x = self.dil2a(x, False)
+        return self.dil2b(x, False)
+
     def __call__(self, x_prev, skip_t, point_flat, mask_pre, mask_all,
                  train: bool = False):
         """skip_t: precomputed ``transform_skip`` output for this level."""
@@ -366,19 +520,71 @@ class AttenDecoder(nn.Module):
         return parts
 
     def decode_split(
-        self, point_flat, partials, group: int
+        self, point_flat, partials, group: int, window: int = 0
     ) -> List[jnp.ndarray]:
         """Per-round pyramid decode from precomputed ``conv1_partials``
         (eval-only).  point_flat is at the folded B*group decode batch;
-        partials stay at B.  Returns the 5 per-level 2-class logits."""
+        partials stay at B.  Returns the 5 per-level 2-class logits.
+
+        ``window > 0`` decodes the levels with factor <= 2 (the finest
+        two — the dominant device cost, PERF.md) only inside a
+        per-glimpse ``window``² crop of the canvas, pasting the finest
+        logits back with background fill outside (so ``preds[-1]`` keeps
+        its full-resolution contract; the windowed INTERMEDIATE preds
+        stay window-sized — extraction consumes only the last).  Windows
+        sit on a quantised origin grid: every crop/paste is a static
+        slice select, no scatter/gather.  Pixels beyond the window are
+        background by construction — a truncation the window size must
+        be chosen to make irrelevant (origin grid keeps the glimpse
+        >= window/4 from every edge)."""
+        H, W = (
+            partials[-1].shape[1] * _FACTORS[-1],
+            partials[-1].shape[2] * _FACTORS[-1],
+        )
+        use_win = bool(window) and window < min(H, W)
+        if use_win:
+            assert window % 4 == 0 and H % (window // 2) == 0 \
+                and W % (window // 2) == 0, (window, H, W)
+            ir, ic, onehot, n_r, n_c = window_origin(
+                point_flat, (H, W), window
+            )
         preds: List[jnp.ndarray] = []
         x = None
         prev_pred = None
-        for lvl, head, part in zip(self.levels, self.heads, partials):
-            x = lvl.call_split(x, part, point_flat, prev_pred, group)
+        for i, (lvl, head, part) in enumerate(
+            zip(self.levels, self.heads, partials)
+        ):
+            f = lvl.factor
+            if not (use_win and f <= 2):
+                x = lvl.call_split(x, part, point_flat, prev_pred, group)
+            else:
+                wl, sl = window // f, window // (2 * f)
+                if self.levels[i - 1].factor > 2:
+                    # first windowed level: crop the previous level's
+                    # full-canvas output / logits to the aligned window
+                    pf = self.levels[i - 1].factor
+                    wp, sp = window // pf, window // (2 * pf)
+                    x = select_window(x, onehot, n_r, n_c, wp, sp)
+                    prev_pred = select_window(
+                        prev_pred, onehot, n_r, n_c, wp, sp
+                    )
+                part_win = select_window_grouped(
+                    part, onehot, group, n_r, n_c, wl, sl
+                )
+                x = lvl.call_split_win(
+                    x, part_win, point_flat, prev_pred, group, (ir, ic),
+                    (H, W),
+                )
             pred_l = head(x)
             preds.append(pred_l)
             prev_pred = pred_l
+        if use_win:
+            # full-resolution contract for the consumed finest logits:
+            # outside the window the background class wins
+            preds[-1] = paste_window(
+                preds[-1], onehot, n_r, n_c, (H, W), window // 2,
+                fill=jnp.asarray([1.0, -1.0], preds[-1].dtype),
+            )
         return preds
 
     def decode(
