@@ -151,3 +151,104 @@ def test_infer_spatial_512_matches_single_device():
     )
     np.testing.assert_array_equal(ref_idmap, np.asarray(idmap))
     np.testing.assert_array_equal(ref_counts, np.asarray(counts))
+
+
+@pytest.mark.slow
+def test_train_spatial_matches_single_device():
+    """Sequence-parallel TRAINING (SURVEY §5.7): two train steps with the
+    batch H-sharded across the 8-device mesh produce the same parameters
+    and cost as the single-device steps (deterministic glimpse + SGD so
+    fp reduction-order noise stays at fp scale), and the compiled step
+    moves conv halos, not gathered activations."""
+    import jax.numpy as jnp
+
+    from tpuseg.parallel.spatial import (
+        make_train_spatial,
+        replicate_state,
+        shard_train_batch,
+    )
+    from tpuseg.runtime.state import create_train_state
+    from tpuseg.runtime.train import make_train_step
+
+    assert jax.device_count() >= 8
+    H, W = 64, 32
+    cfg = cvppp_config()
+    cfg = dataclasses.replace(
+        cfg,
+        data=dataclasses.replace(
+            cfg.data, image_height=H, image_width=W, max_n_objects=4
+        ),
+        train=dataclasses.replace(
+            cfg.train, batch_size=2, optimizer="SGD", learning_rate=0.01
+        ),
+        model=dataclasses.replace(cfg.model, n_filters=8),
+        decoder=dataclasses.replace(cfg.decoder, deterministic_glimpse=True),
+    )
+    model = build_model(cfg)
+    variables = init_variables(cfg, model, seed=0)
+
+    rng = np.random.RandomState(0)
+    labels = np.zeros((2, H, W), np.int32)
+    labels[:, 16:48, 8:24] = 1
+    ins = np.zeros((2, H, W, 4), np.float32)
+    ins[:, 16:32, 8:24, 0] = 1
+    ins[:, 32:48, 8:24, 1] = 1
+    batch = {
+        "images": rng.randint(0, 255, (2, H, W, 3)).astype(np.uint8),
+        "sem_onehot": np.eye(2, dtype=np.float32)[labels],
+        "ins_masks": ins,
+        "n_objects": np.full((2,), 2, np.int32),
+    }
+    key = jax.random.PRNGKey(3)
+
+    # single-device reference: two steps
+    s_state = create_train_state(cfg, variables)
+    s_step = make_train_step(cfg, model)
+    s_state, m1 = s_step(s_state, {k: jnp.asarray(v) for k, v in batch.items()}, key)
+    s_state, m2 = s_step(s_state, {k: jnp.asarray(v) for k, v in batch.items()}, key)
+
+    # H-sharded over the 8-device mesh
+    mesh = make_mesh(8)
+    m_state = replicate_state(create_train_state(cfg, variables), mesh)
+    m_step = make_train_spatial(cfg, model, mesh)
+    m_state, n1 = m_step(m_state, batch, key)
+    m_state, n2 = m_step(m_state, batch, key)
+
+    assert abs(float(m1["cost"]) - float(n1["cost"])) < 2e-2 * max(
+        1.0, abs(float(m1["cost"]))
+    )
+    # params stay replicated; equality up to sharded-reduction fp noise.
+    # H-sharding re-associates EVERY conv reduction (halo partials), so
+    # even with deterministic_glimpse an argmax can flip on an fp-noise
+    # tie and contribute one divergent REINFORCE gradient (observed:
+    # max |Δ| 0.011 after 2 steps) — the bound is one SGD-with-clipping
+    # step (lr 0.01 · clip 1.6), same caveat as test_fit_mesh.
+    leaf = jax.tree_util.tree_leaves(m_state.params)[0]
+    assert leaf.sharding.is_fully_replicated
+    for s, m in zip(
+        jax.tree_util.tree_leaves(s_state.params),
+        jax.tree_util.tree_leaves(m_state.params),
+    ):
+        np.testing.assert_allclose(
+            np.asarray(s), np.asarray(m), rtol=5e-3, atol=1.6e-2
+        )
+
+    # heavy comms are halos: no full-resolution activation all-gather
+    sb = shard_train_batch(batch, mesh)
+    hlo = (
+        jax.jit(lambda st, b, k: m_step(st, b, k))
+        .lower(m_state, sb, key).compile().as_text()
+    )
+    assert hlo.count("collective-permute") > 0
+    # bounded gathers only: the backward pass re-replicates a couple of
+    # LOW-CHANNEL full-res maps where XLA prefers replication for a
+    # reverse conv (observed: (B,H,W,1) mask + (B,H,W,n_filters)), but
+    # never a full-channel activation — each gather stays under one
+    # 21-channel input activation and the total under 4 of them
+    input_activation_elems = 2 * H * W * 21
+    total = 0
+    for dtype, dims in _all_gather_shapes(hlo):
+        elems = int(np.prod(dims)) if dims else 1
+        total += elems
+        assert elems <= input_activation_elems, (dtype, dims)
+    assert total <= 4 * input_activation_elems, total

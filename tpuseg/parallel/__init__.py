@@ -7,8 +7,12 @@ from tpuseg.parallel.mesh import (
     pad_to_multiple,
 )
 from tpuseg.parallel.spatial import (
+    make_infer_spatial,
     make_semantic_spatial,
+    make_train_spatial,
+    replicate_state,
     shard_spatial,
+    shard_train_batch,
     spatial_sharding,
 )
 
@@ -19,7 +23,11 @@ __all__ = [
     "shard_batch",
     "replicate",
     "pad_to_multiple",
+    "make_infer_spatial",
     "make_semantic_spatial",
+    "make_train_spatial",
+    "replicate_state",
     "shard_spatial",
+    "shard_train_batch",
     "spatial_sharding",
 ]

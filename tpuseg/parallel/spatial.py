@@ -76,6 +76,55 @@ def make_semantic_spatial(model, mesh: Mesh, axis_name: str = "data"):
     return fn
 
 
+def replicate_state(state, mesh: Mesh):
+    """Place a TrainState fully replicated on the mesh (call once before
+    a ``make_train_spatial`` loop)."""
+    return jax.device_put(state, NamedSharding(mesh, jax.sharding.PartitionSpec()))
+
+
+def shard_train_batch(batch: dict, mesh: Mesh, axis_name: str = "data"):
+    """H-shard the spatial tensors of a training batch; per-sample
+    scalars replicate."""
+    shard = spatial_sharding(mesh, axis_name)
+    repl = NamedSharding(mesh, jax.sharding.PartitionSpec())
+    out = {}
+    for k, v in batch.items():
+        v = jnp.asarray(v)
+        out[k] = jax.device_put(
+            v, shard if v.ndim == 4 else repl
+        )
+    return out
+
+
+def make_train_spatial(cfg, model, mesh: Mesh, axis_name: str = "data",
+                       **step_kw):
+    """Training step with the image HEIGHT sharded across the mesh —
+    sequence-parallel TRAINING (SURVEY §5.7; the inference analogue is
+    ``make_infer_spatial``).  State stays replicated; XLA's SPMD pass
+    spatially partitions every conv in the forward AND backward pass
+    (halo collective-permutes both ways), keeps activations H-sharded
+    through the glimpse scan, and all-reduces the loss/gradients — so a
+    single global batch can train at resolutions whose activations
+    exceed one device's HBM, which the reference (pinned to one GPU's
+    256² crop, ``/root/reference/code/lib/model.py``) cannot.
+
+    Returns ``step(state, batch, rng) -> (state, metrics)`` — the SAME
+    jitted step ``make_train_step`` builds (identical math; equality
+    asserted in tests/test_spatial_sharding.py): sharding here is pure
+    data placement, propagated by the partitioner from the operands.
+    Replicate the state once with ``replicate_state`` and feed batches
+    through ``shard_train_batch``.
+    """
+    from tpuseg.runtime.train import make_train_step
+
+    step = make_train_step(cfg, model, **step_kw)
+
+    def fn(state, batch, rng):
+        return step(state, shard_train_batch(batch, mesh, axis_name), rng)
+
+    return fn
+
+
 def make_infer_spatial(
     model, mesh: Mesh, axis_name: str = "data",
     max_instances: Optional[int] = None, stop_params=None,
