@@ -30,6 +30,9 @@ import numpy as np
 
 from tpuseg.cli.common import build_model, init_variables
 from tpuseg.configs import cvppp_config
+from tpuseg.utils import enable_compilation_cache
+
+enable_compilation_cache()
 from tpuseg.data.colorspace import image_ex_standardize
 from tpuseg.data.dataset import AlignCollate
 from tpuseg.data.loader import PrefetchLoader
@@ -53,6 +56,7 @@ def evaluate_full(cfg, model, variables, ds, n, batch=16, max_ids=32):
             v, image_ex_standardize(x), mode="infer", stop_params=sp
         )
     )
+    print("  eval: tracing/compiling infer...", flush=True)
     sbds, fgs, dics = [], [], []
     for start in range(0, n, batch):
         idxs = [min(start + j, len(ds) - 1) for j in range(batch)]
@@ -99,6 +103,8 @@ def main(
     bf16=False,
     seed=31,
     swa_frac=0.0,
+    freeze_bn=False,
+    warm_opt=0,
 ):
     cfg = cvppp_config()
     cfg = dataclasses.replace(
@@ -142,6 +148,14 @@ def main(
         variables = _merge_restore(dict(variables), stored)
         print(f"resumed weights from {asset}", flush=True)
     state = create_train_state(cfg, variables)
+    print("train state created", flush=True)
+    # --freeze_bn: keep the resumed asset's BN running statistics for
+    # the whole fine-tune.  Empirical r5 finding: fine-tuning at 256²
+    # collapses the frozen-eval metrics IDENTICALLY at lr 0.3 and 0.08
+    # (FG dice 0.94->0.81 within 4 epochs) — LR-independent damage, i.e.
+    # the momentum batch-stat updates over the augmented train stream,
+    # not the gradient updates, were degrading the eval path.
+    frozen_stats = state.batch_stats if freeze_bn else None
 
     m0 = evaluate_full(cfg, model, state.model_variables, val_ds, n_val)
     print(f"start: SBD={m0['sbd']:.4f} FG={m0['fg']:.4f} "
@@ -165,6 +179,27 @@ def main(
     step = make_train_step(cfg, model)
     key = jax.random.PRNGKey(cfg.train.seed)
     t0 = time.time()
+    # --warm_opt: populate the Adadelta accumulators with realistic
+    # gradient magnitudes BEFORE any weight moves (epochs at lr=0:
+    # optax's rho-EMAs update regardless of the final lr scaling).  The
+    # original optimizer state is gone with the orbax run dir (/tmp);
+    # resuming weights-only with ZERO accumulators makes the first
+    # updates ~|g|-independent sign kicks (ROADMAP r2 finding) — the
+    # r5-observed LR-insensitive eval collapse in the first epochs.
+    pre_warm_stats = state.batch_stats
+    for wepoch in range(warm_opt):
+        state = state.replace(
+            plateau=state.plateau.replace(lr=jnp.asarray(0.0, jnp.float32))
+        )
+        for batch in loader.epoch(1000 + wepoch):
+            key, sub = jax.random.split(key)
+            batch = {k: jnp.asarray(v) for k, v in batch.items()}
+            state, _ = step(state, batch, sub)
+            # params did not move (lr scale 0), so the asset's stats
+            # stay the consistent ones — warm only the optimizer
+            state = state.replace(batch_stats=pre_warm_stats)
+        print(f"opt-warmup epoch {wepoch} done ({time.time()-t0:.0f}s)",
+              flush=True)
     for epoch in range(epochs):
         # cosine LR decay via the plateau scale (ROADMAP: constant-lr
         # fine-tunes regress past their best)
@@ -179,6 +214,8 @@ def main(
             key, sub = jax.random.split(key)
             batch = {k: jnp.asarray(v) for k, v in batch.items()}
             state, m = step(state, batch, sub)
+            if frozen_stats is not None:
+                state = state.replace(batch_stats=frozen_stats)
             costs.append(float(m["cost"]))
             if "count_err" in m:
                 cerrs.append(float(m["count_err"]))
@@ -296,7 +333,16 @@ if __name__ == "__main__":
     p.add_argument("--swa_frac", type=float, default=0.0,
                    help="tail fraction of epochs to average into an SWA "
                         "candidate (0 disables)")
+    p.add_argument("--freeze_bn", action="store_true",
+                   help="keep the resumed asset's BN running stats (the "
+                        "momentum stat updates, not the gradients, were "
+                        "collapsing 256-res fine-tune evals)")
+    p.add_argument("--warm_opt", type=int, default=0,
+                   help="optimizer-warmup epochs at lr=0 before training "
+                        "(fills the Adadelta accumulators lost with the "
+                        "original orbax state)")
     a = p.parse_args()
     main(a.epochs, a.res, a.n_train, a.n_val, a.batch_size, a.eval_every,
          a.lr0, a.lr_min, a.max_leaves, a.min_leaves, a.dic_weight,
-         not a.no_resume, a.out, a.install_bar, a.bf16, a.seed, a.swa_frac)
+         not a.no_resume, a.out, a.install_bar, a.bf16, a.seed, a.swa_frac,
+         a.freeze_bn, a.warm_opt)
