@@ -105,6 +105,7 @@ def main(
     swa_frac=0.0,
     freeze_bn=False,
     warm_opt=0,
+    eval_res=0,
 ):
     cfg = cvppp_config()
     cfg = dataclasses.replace(
@@ -116,6 +117,18 @@ def main(
             cfg.train, batch_size=batch_size, learning_rate=lr0
         ),
     )
+    # selection val may run at a DIFFERENT resolution than training
+    # (--eval_res): r5 finding — 256-res training collapses the model
+    # (gradient-driven, lr- and optimizer-state-independent) while
+    # 128-res training recovers, so the gate-matched recipe trains at
+    # 128 and SELECTS on a 256-res val (the frozen eval's resolution).
+    eval_res = eval_res or res
+    eval_cfg = dataclasses.replace(
+        cfg,
+        data=dataclasses.replace(
+            cfg.data, image_height=eval_res, image_width=eval_res
+        ),
+    )
     root = "/tmp/tpuseg_r3"
     os.makedirs(root, exist_ok=True)
     write_synthetic_records(
@@ -123,7 +136,7 @@ def main(
         min_leaves=min_leaves, max_leaves=max_leaves, hard=True,
     )
     write_synthetic_records(
-        f"{root}/val", n_val, seed=32, height=res, width=res,
+        f"{root}/val", n_val, seed=32, height=eval_res, width=eval_res,
         min_leaves=min_leaves, max_leaves=max_leaves, hard=True,
     )
     train_ds = SegRecordDataset(f"{root}/train")
@@ -157,7 +170,7 @@ def main(
     # not the gradient updates, were degrading the eval path.
     frozen_stats = state.batch_stats if freeze_bn else None
 
-    m0 = evaluate_full(cfg, model, state.model_variables, val_ds, n_val)
+    m0 = evaluate_full(eval_cfg, model, state.model_variables, val_ds, n_val)
     print(f"start: SBD={m0['sbd']:.4f} FG={m0['fg']:.4f} "
           f"|DiC|={m0['dic']:.3f}", flush=True)
 
@@ -238,7 +251,7 @@ def main(
                 )
             swa_n += 1
         if (epoch + 1) % eval_every == 0 or epoch == epochs - 1:
-            m = evaluate_full(cfg, model, state.model_variables, val_ds, n_val)
+            m = evaluate_full(eval_cfg, model, state.model_variables, val_ds, n_val)
             score = m["sbd"] - dic_weight * m["dic"]
             print(f"  eval @{epoch}: SBD={m['sbd']:.4f} FG={m['fg']:.4f} "
                   f"|DiC|={m['dic']:.3f} score={score:.4f}", flush=True)
@@ -264,7 +277,7 @@ def main(
             lambda a: np.asarray(a / swa_n, np.float32), swa_sum
         )
         swa_payload["decoder_state"] = jax.device_get(state.decoder_state)
-        m = evaluate_full(cfg, model, dict(swa_payload), val_ds, n_val)
+        m = evaluate_full(eval_cfg, model, dict(swa_payload), val_ds, n_val)
         score = m["sbd"] - dic_weight * m["dic"]
         print(f"  SWA({swa_n} snapshots): SBD={m['sbd']:.4f} "
               f"FG={m['fg']:.4f} |DiC|={m['dic']:.3f} score={score:.4f}",
@@ -341,8 +354,12 @@ if __name__ == "__main__":
                    help="optimizer-warmup epochs at lr=0 before training "
                         "(fills the Adadelta accumulators lost with the "
                         "original orbax state)")
+    p.add_argument("--eval_res", type=int, default=0,
+                   help="selection-val resolution (0 = same as --res); "
+                        "set 256 to gate-match the frozen eval while "
+                        "training at a stabler resolution)")
     a = p.parse_args()
     main(a.epochs, a.res, a.n_train, a.n_val, a.batch_size, a.eval_every,
          a.lr0, a.lr_min, a.max_leaves, a.min_leaves, a.dic_weight,
          not a.no_resume, a.out, a.install_bar, a.bf16, a.seed, a.swa_frac,
-         a.freeze_bn, a.warm_opt)
+         a.freeze_bn, a.warm_opt, a.eval_res)
