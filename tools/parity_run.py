@@ -413,8 +413,18 @@ def main():
         "the optimization converges to the same place."
     )
     lines.append("")
+    out_text = "\n".join(lines)
+    # preserve marked sections other tools own (parity_grads GRADS)
+    if os.path.isfile(args.out):
+        old = open(args.out).read()
+        for begin, end in [("<!-- GRADS:BEGIN -->", "<!-- GRADS:END -->")]:
+            if begin in old and end in old:
+                out_text = (
+                    out_text.rstrip() + "\n\n"
+                    + old[old.index(begin): old.index(end) + len(end)] + "\n"
+                )
     with open(args.out, "w") as f:
-        f.write("\n".join(lines))
+        f.write(out_text)
     print(f"wrote {args.out}")
     for rk, tk in KEYMAP:
         print(f"  median rel delta {rk}: {_median(rels[rk]):.3e}"

@@ -106,6 +106,7 @@ def main(
     freeze_bn=False,
     warm_opt=0,
     eval_res=0,
+    freeze_subtrees="",
 ):
     cfg = cvppp_config()
     cfg = dataclasses.replace(
@@ -169,6 +170,32 @@ def main(
     # the momentum batch-stat updates over the augmented train stream,
     # not the gradient updates, were degrading the eval path.
     frozen_stats = state.batch_stats if freeze_bn else None
+    # --freeze_subtrees count_head,density_head: pin named top-level
+    # param/stat subtrees to the resumed asset's values (restored after
+    # every step).  r5 diagnosis: every fine-tune first blows up |DiC|
+    # (budget collapse -> under-extraction -> FG/SBD collapse) while the
+    # TRAIN-res count_err improves — the density head's 256-res
+    # calibration is what goes stale, so keep the counting path fixed
+    # while the mask path trains.
+    pin_names = [s for s in freeze_subtrees.split(",") if s]
+    pinned = None
+    if pin_names:
+        pinned = {
+            "params": {k: state.params[k] for k in pin_names
+                       if k in state.params},
+            "batch_stats": {k: state.batch_stats[k] for k in pin_names
+                            if k in state.batch_stats},
+        }
+        print(f"pinned subtrees: {sorted(pinned['params'])}", flush=True)
+
+    def _repin(st):
+        if pinned is None:
+            return st
+        p = dict(st.params)
+        p.update(pinned["params"])
+        bs = dict(st.batch_stats)
+        bs.update(pinned["batch_stats"])
+        return st.replace(params=p, batch_stats=bs)
 
     m0 = evaluate_full(eval_cfg, model, state.model_variables, val_ds, n_val)
     print(f"start: SBD={m0['sbd']:.4f} FG={m0['fg']:.4f} "
@@ -229,6 +256,7 @@ def main(
             state, m = step(state, batch, sub)
             if frozen_stats is not None:
                 state = state.replace(batch_stats=frozen_stats)
+            state = _repin(state)
             costs.append(float(m["cost"]))
             if "count_err" in m:
                 cerrs.append(float(m["count_err"]))
@@ -354,6 +382,9 @@ if __name__ == "__main__":
                    help="optimizer-warmup epochs at lr=0 before training "
                         "(fills the Adadelta accumulators lost with the "
                         "original orbax state)")
+    p.add_argument("--freeze_subtrees", default="",
+                   help="comma-separated top-level param subtrees pinned "
+                        "to the asset values (e.g. count_head,density_head)")
     p.add_argument("--eval_res", type=int, default=0,
                    help="selection-val resolution (0 = same as --res); "
                         "set 256 to gate-match the frozen eval while "
@@ -362,4 +393,4 @@ if __name__ == "__main__":
     main(a.epochs, a.res, a.n_train, a.n_val, a.batch_size, a.eval_every,
          a.lr0, a.lr_min, a.max_leaves, a.min_leaves, a.dic_weight,
          not a.no_resume, a.out, a.install_bar, a.bf16, a.seed, a.swa_frac,
-         a.freeze_bn, a.warm_opt, a.eval_res)
+         a.freeze_bn, a.warm_opt, a.eval_res, a.freeze_subtrees)
