@@ -66,6 +66,17 @@ def _build(dtype=None):
     # chatter goes to stderr
     with contextlib.redirect_stdout(sys.stderr):
         cfg = adapt_cfg_to_checkpoint(cfg, ckpt)
+        win = int(os.environ.get("TPUSEG_EXTRACT_WINDOW", "-1"))
+        wstride = int(os.environ.get("TPUSEG_EXTRACT_WINDOW_STRIDE", "-1"))
+        if win >= 0 or wstride >= 0:
+            import dataclasses
+
+            dec = cfg.decoder
+            if win >= 0:
+                dec = dataclasses.replace(dec, extract_window=win)
+            if wstride >= 0:
+                dec = dataclasses.replace(dec, extract_window_stride=wstride)
+            cfg = dataclasses.replace(cfg, decoder=dec)
         model = build_model(cfg, dtype=dtype)
         variables = load_variables(cfg, model, ckpt, seed=0)
     return cfg, model, variables

@@ -156,3 +156,38 @@ def test_decode_split_windowed_contract():
         a = pf[s, r0[s] + m:r0[s] + win - m, c0[s] + m:c0[s] + win - m]
         b_ = pw[s, r0[s] + m:r0[s] + win - m, c0[s] + m:c0[s] + win - m]
         np.testing.assert_allclose(a, b_, rtol=1e-4, atol=1e-4)
+
+
+def test_window_origin_fg_seeks_mass_with_margin():
+    """The fg-seeking origin picks the candidate window with the most
+    remaining foreground among those keeping the point >= win/8 inside;
+    at canvas borders it falls back to the nearest-centered origin."""
+    from tpuseg.decoder.pyramid import window_origin_fg
+
+    H = W = 64
+    win, s = 32, 16
+    fg = np.zeros((1, H, W, 1), np.float32)
+    fg[0, 0:32, 0:32] = 1.0  # all mass in the top-left window
+    # point at (24, 24): origins {0,16}x{0,16} all keep the win/8
+    # margin; origin (0,0) holds the most mass
+    pts = jnp.asarray([24 * W + 24], jnp.int32)
+    ir, ic, oh, n_r, n_c = window_origin_fg(
+        pts, (H, W), win, s, jnp.asarray(fg), group=1
+    )
+    assert int(ir[0]) == 0 and int(ic[0]) == 0
+    # same point, mass bottom-right: origin moves toward the mass but
+    # must keep the point >= 4 px inside -> origin (1,1) (=16,16)
+    fg2 = np.zeros((1, H, W, 1), np.float32)
+    fg2[0, 32:, 32:] = 1.0
+    ir, ic, oh, n_r, n_c = window_origin_fg(
+        pts, (H, W), win, s, jnp.asarray(fg2), group=1
+    )
+    r0, c0 = int(ir[0]) * s, int(ic[0]) * s
+    assert 24 - r0 >= win // 8 and r0 + win - 24 > win // 8
+    assert r0 == 16 and c0 == 16
+    # border point: nearest origin fallback keeps it in range
+    ptsb = jnp.asarray([1 * W + 1], jnp.int32)
+    ir, ic, oh, _, _ = window_origin_fg(
+        ptsb, (H, W), win, s, jnp.asarray(fg2), group=1
+    )
+    assert int(ir[0]) == 0 and int(ic[0]) == 0

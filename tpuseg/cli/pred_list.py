@@ -61,6 +61,18 @@ def main(argv=None):
                              "worst case; identical outputs")
     parser.add_argument("--no-staged", dest="staged", action="store_false",
                         help="force the monolithic single-program inference")
+    parser.add_argument("--window", type=int,
+                        default=int(os.environ.get(
+                            "TPUSEG_EXTRACT_WINDOW", "-1")),
+                        help="windowed finest-level decode size in pixels "
+                             "(cfg.decoder.extract_window); -1 keeps the "
+                             "config default, 0 disables")
+    parser.add_argument("--window_stride", type=int,
+                        default=int(os.environ.get(
+                            "TPUSEG_EXTRACT_WINDOW_STRIDE", "-1")),
+                        help="origin-grid stride of the windowed decode "
+                             "(cfg.decoder.extract_window_stride); "
+                             "-1 keeps the config default")
     opt = parser.parse_args(argv)
 
     assert opt.dataset in ["CVPPP"]
@@ -87,6 +99,24 @@ def main(argv=None):
     cfg = get_config(opt.dataset)
     usable = os.path.isdir(model_path) or model_path.endswith(".msgpack")
     cfg = adapt_cfg_to_checkpoint(cfg, model_path if usable else "")
+    if opt.window >= 0:
+        import dataclasses
+
+        cfg = dataclasses.replace(
+            cfg,
+            decoder=dataclasses.replace(
+                cfg.decoder, extract_window=opt.window
+            ),
+        )
+    if opt.window_stride >= 0:
+        import dataclasses
+
+        cfg = dataclasses.replace(
+            cfg,
+            decoder=dataclasses.replace(
+                cfg.decoder, extract_window_stride=opt.window_stride
+            ),
+        )
     model = build_model(cfg, dtype=None if opt.f32 else jnp.bfloat16)
     variables = load_variables(cfg, model, model_path if usable else "")
     import jax

@@ -99,13 +99,24 @@ def main(argv=None):
     val_ds = open_dataset(opt.val_data or val_path)
     print(f"train: {len(train_ds)} samples, val: {len(val_ds)} samples")
 
-    # --device_aug: collate WITHOUT host PIL augmentation — the jitted
-    # train step applies the on-device subset (tpuseg/data/device_aug.py)
-    # so a low-core host can't starve the chip
-    train_collate = AlignCollate(
-        "test" if opt.device_aug else "training", cfg.data,
-        cfg.train.batch_size,
-    )
+    # --device_aug: the jitted train step applies the static-shape
+    # augmentation subset on device (tpuseg/data/device_aug.py) so a
+    # low-core host can't starve the chip; the host collate runs a
+    # hybrid mode that keeps ONLY the dynamic-shape transforms the
+    # device cannot express (ADVICE r4: previously these were silently
+    # dropped even when the config enabled them)
+    if opt.device_aug:
+        d = cfg.data
+        host_kept = [n for n, on in [("resolution", d.resolution),
+                                     ("rotation", d.rotation),
+                                     ("center_cut", d.center_cut)] if on]
+        train_collate = AlignCollate(
+            "training_host_only", cfg.data, cfg.train.batch_size
+        )
+        print("--device_aug: D4 + photometric run on device; host collate "
+              f"keeps {host_kept or 'no'} dynamic-shape transform(s)")
+    else:
+        train_collate = AlignCollate("training", cfg.data, cfg.train.batch_size)
     val_collate = AlignCollate("test", cfg.data, cfg.train.batch_size)
     train_loader = PrefetchLoader(
         train_ds, train_collate, cfg.train.batch_size, shuffle=True,

@@ -158,6 +158,13 @@ class DecoderConfig:
     # Masks further than window/4 from their glimpse peak get truncated;
     # quality impact measured on the frozen eval before defaulting on.
     extract_window: int = 0
+    # Origin-grid stride for the windowed decode (0 = window/2).  A
+    # denser grid (e.g. 32 at window 128) centers the glimpse at least
+    # (window-stride)/2 px from every window edge at IDENTICAL decode
+    # compute — only the static-slice one-hot selects grow (~0.5
+    # ms/round) — recovering the truncation-induced SBD loss of the
+    # coarse grid.  Must divide (H - window) and be a multiple of 4.
+    extract_window_stride: int = 0
     # Use the Pallas fused masked-softmax kernel for the per-instance
     # hard-attention distributions (tpuseg/kernels/masked_softmax.py).
     use_pallas_softmax: bool = False

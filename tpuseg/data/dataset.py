@@ -89,8 +89,21 @@ class TransferDataset:
 
 
 class AlignCollate:
+    """``mode``:
+      * ``"training"`` — the full host augmentation stack;
+      * ``"test"`` — resize/pad only;
+      * ``"training_host_only"`` — ONLY the dynamic-shape transforms the
+        on-device path (``tpuseg/data/device_aug.py``) cannot express
+        (resolution degrade, small-angle rotation with random background,
+        center_cut) — the static-shape subset (flips/transpose/rot90 +
+        photometric) is expected to run on device.  Host-side rotation
+        then happens BEFORE the device D4 instead of after; both D4 and
+        the +-10deg rotation draw i.i.d. per sample, so the composed
+        distribution is unchanged.  Non-square targets keep transpose/
+        rot90 on host too (the device path requires H == W)."""
+
     def __init__(self, mode: str, cfg: DataConfig, batch_size: int):
-        assert mode in ("training", "test")
+        assert mode in ("training", "test", "training_host_only")
         self.mode = mode
         self.cfg = cfg
         self.batch_size = batch_size
@@ -100,25 +113,30 @@ class AlignCollate:
         """Per-sample path (reference dataset.py:175-325)."""
         cfg = self.cfg
         H, W = cfg.image_height, cfg.image_width
-        if self.mode == "training":
+        if self.mode in ("training", "training_host_only"):
+            # in hybrid mode the static-shape subset runs on device;
+            # non-square targets keep transpose/rot90 here (device path
+            # needs H == W)
+            full = self.mode == "training"
+            host_sq = full or H != W
             anns: List[np.ndarray] = [instance[:, :, i] for i in range(instance.shape[2])]
 
             if cfg.resolution:
                 ratio = float(rng.choice(np.arange(0.7, 1.3, 0.05)))
                 image = A.degrade_resolution(image, ratio)
-            if cfg.hflip and rng.random() < 0.5:
+            if full and cfg.hflip and rng.random() < 0.5:
                 image = A.hflip(image)
                 anns = [A.hflip(a) for a in anns]
                 semantic = A.hflip(semantic)
-            if cfg.vflip and rng.random() < 0.5:
+            if full and cfg.vflip and rng.random() < 0.5:
                 image = A.vflip(image)
                 anns = [A.vflip(a) for a in anns]
                 semantic = A.vflip(semantic)
-            if cfg.transpose and rng.random() < 0.5:
+            if host_sq and cfg.transpose and rng.random() < 0.5:
                 image = A.transpose(image)
                 anns = [A.transpose(a) for a in anns]
                 semantic = A.transpose(semantic)
-            if cfg.rot90:
+            if host_sq and cfg.rot90:
                 angle = int(rng.choice([0, 90, 180, 270]))
                 image = A.rotate(image, angle, A.BILINEAR, expand=True)
                 anns = [A.rotate(a, angle, A.NEAREST, expand=True) for a in anns]
@@ -143,14 +161,14 @@ class AlignCollate:
                             kept.append(a2)
                     anns = kept
                     semantic, _ = A.center_cut(semantic, center, H, W)
-            if cfg.color_jitter:
+            if full and cfg.color_jitter:
                 image = A.color_jitter(image, rng)
-            if cfg.gamma:
+            if full and cfg.gamma:
                 g = rng.random() * 0.6 + 0.7
                 image = A.adjust_gamma(image, g)
-            if cfg.channel_swap and rng.random() < 0.5:
+            if full and cfg.channel_swap and rng.random() < 0.5:
                 image = A.swap_channels(image, rng)
-            if cfg.grayscale:
+            if full and cfg.grayscale:
                 image = A.grayscale(image, rng, p=0.3)
             instance = (
                 np.stack(anns, axis=-1)

@@ -436,9 +436,16 @@ class _GlimpseStep(nn.Module):
             # -- decode all G glimpses in one pyramid pass (B*G batch)
             pts = jnp.stack(points, axis=1).reshape(b * G)  # (B*G,)
             if const.get("partials") is not None:
+                # fg_mask=remaining (mass-seeking origins,
+                # pyramid.window_origin_fg) measured WORSE on the frozen
+                # eval: pooled fg drags windows toward the plant clump,
+                # away from the target leaf (SBD 0.786/0.808 vs the
+                # point-centered 0.803/0.813 at windows 128/192) — keep
+                # the point-centered grid.
                 preds_all = bone.decode_split(
                     pts, list(const["partials"]), G,
                     window=int(cfg.extract_window),
+                    window_stride=int(cfg.extract_window_stride),
                 )
             else:
                 skips_rep = [jnp.repeat(st, G, axis=0) for st in skips_t]

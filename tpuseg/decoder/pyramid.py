@@ -117,27 +117,86 @@ def point_position_planes(
 
 
 def window_origin(
-    point_flat: jnp.ndarray, full_hw: Tuple[int, int], win: int
+    point_flat: jnp.ndarray, full_hw: Tuple[int, int], win: int,
+    stride: int = 0,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, int, int]:
     """Quantised decode-window origin for each glimpse point.
 
-    Origins live on a stride = win/2 grid (so every downstream crop and
-    paste is a STATIC slice selected by a one-hot — TPU scatter/gather
-    forces layout copies, PERF.md dead ends).  The grid guarantees the
-    point sits at least win/4 from every window edge (interior points).
+    Origins live on a ``stride`` grid (default win/2) so every
+    downstream crop and paste is a STATIC slice selected by a one-hot —
+    TPU scatter/gather forces layout copies, PERF.md dead ends.  The
+    nearest grid origin to the centered window is chosen, guaranteeing
+    interior points sit at least (win - stride)/2 from every window
+    edge — a DENSER grid (smaller stride) centers the instance better
+    at identical decode compute (only the one-hot select reads grow,
+    ~0.5 ms/round at K=25, B*G=128, 256²).
 
     Returns (ir, ic, onehot, n_r, n_c): per-point grid indices, the
     (N, n_r*n_c) selection one-hot, and the grid extent.
     """
     H, W = full_hw
-    s = win // 2
+    s = stride or (win // 2)
     n_r = max((H - win) // s + 1, 1)
     n_c = max((W - win) // s + 1, 1)
     row = point_flat // W
     col = point_flat % W
-    ir = jnp.clip((row - win // 4) // s, 0, n_r - 1)
-    ic = jnp.clip((col - win // 4) // s, 0, n_c - 1)
+    # nearest grid index to (row - win/2): floor((row - win/2 + s/2)/s)
+    ir = jnp.clip((row - win // 2 + s // 2) // s, 0, n_r - 1)
+    ic = jnp.clip((col - win // 2 + s // 2) // s, 0, n_c - 1)
     onehot = jax.nn.one_hot(ir * n_c + ic, n_r * n_c, dtype=jnp.float32)
+    return ir, ic, onehot, n_r, n_c
+
+
+def window_origin_fg(
+    point_flat: jnp.ndarray, full_hw: Tuple[int, int], win: int,
+    stride: int, fg_mask: jnp.ndarray, group: int,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, int, int]:
+    """Foreground-seeking window origin (quality variant of
+    ``window_origin``): among the grid origins that keep the glimpse at
+    least win/8 inside the window, pick the one whose window contains
+    the most remaining foreground.  Elongated instances extend toward
+    the plant's mass, so point-CENTERED windows waste half their area on
+    empty background and truncate the leaf body — mass-seeking windows
+    recover that (measured on the frozen eval; see PERF.md).  Costs one
+    reduce_window over the fg mask per round (~8 MB read at 256² B=32).
+
+    fg_mask: (B, H, W, 1) remaining-foreground; point_flat: (B*group,).
+    """
+    H, W = full_hw
+    s = stride
+    n_r = max((H - win) // s + 1, 1)
+    n_c = max((W - win) // s + 1, 1)
+    row = point_flat // W
+    col = point_flat % W
+    ir0 = jnp.clip((row - win // 2 + s // 2) // s, 0, n_r - 1)
+    ic0 = jnp.clip((col - win // 2 + s // 2) // s, 0, n_c - 1)
+    # remaining-fg mass of every candidate window: (B, n_r, n_c)
+    pool = jax.lax.reduce_window(
+        fg_mask[..., 0], 0.0, jax.lax.add, (1, win, win), (1, s, s),
+        "valid",
+    )
+    pool = jnp.repeat(pool, group, axis=0)  # (B*G, n_r, n_c)
+    m = win // 8
+    o_r = jnp.arange(n_r) * s
+    o_c = jnp.arange(n_c) * s
+    ok_r = (row[:, None] - o_r[None] >= m) & (
+        o_r[None] + win - row[:, None] > m
+    )
+    ok_c = (col[:, None] - o_c[None] >= m) & (
+        o_c[None] + win - col[:, None] > m
+    )
+    ok = ok_r[:, :, None] & ok_c[:, None, :]
+    # the nearest-centered origin is always allowed (canvas borders can
+    # empty the margin-constrained set)
+    near = (
+        (jnp.arange(n_r)[None] == ir0[:, None])[:, :, None]
+        & (jnp.arange(n_c)[None] == ic0[:, None])[:, None, :]
+    )
+    score = jnp.where(ok | near, pool, -1.0)
+    k = jnp.argmax(score.reshape(-1, n_r * n_c), axis=1)
+    ir = k // n_c
+    ic = k % n_c
+    onehot = jax.nn.one_hot(k, n_r * n_c, dtype=jnp.float32)
     return ir, ic, onehot, n_r, n_c
 
 
@@ -384,7 +443,7 @@ class _UpAttenLevel(nn.Module):
         return self.dil2b(x, False)
 
     def call_split_win(self, x_prev, part_win, point_flat, mask_pre,
-                       group: int, origin_idx, full_hw):
+                       group: int, origin_idx, full_hw, level_stride=0):
         """Windowed ``call_split``: the level computes only a per-glimpse
         window (PERF.md round-5 lever — the finest IR chains are the
         dominant device cost and an instance is local to its glimpse).
@@ -404,7 +463,7 @@ class _UpAttenLevel(nn.Module):
         dt = self.dtype or part_win.dtype
         bg = point_flat.shape[0]
         ir, ic = origin_idx
-        sl = wl // 2
+        sl = level_stride or (wl // 2)
         pos = point_position_planes_win(
             point_flat, full_hw,
             (full_hw[0] // self.factor, full_hw[1] // self.factor),
@@ -520,7 +579,8 @@ class AttenDecoder(nn.Module):
         return parts
 
     def decode_split(
-        self, point_flat, partials, group: int, window: int = 0
+        self, point_flat, partials, group: int, window: int = 0,
+        window_stride: int = 0, fg_mask=None,
     ) -> List[jnp.ndarray]:
         """Per-round pyramid decode from precomputed ``conv1_partials``
         (eval-only).  point_flat is at the folded B*group decode batch;
@@ -541,13 +601,31 @@ class AttenDecoder(nn.Module):
             partials[-1].shape[1] * _FACTORS[-1],
             partials[-1].shape[2] * _FACTORS[-1],
         )
-        use_win = bool(window) and window < min(H, W)
+        # the configured window is calibrated at the reference 256 canvas;
+        # scale it with the actual resolution (instances occupy a similar
+        # FRACTION of native-resolution images).  Square canvases only;
+        # any divisibility failure falls back to the full decode rather
+        # than asserting (bucketed shapes vary).
+        use_win = bool(window) and H == W and window < H
         if use_win:
-            assert window % 4 == 0 and H % (window // 2) == 0 \
-                and W % (window // 2) == 0, (window, H, W)
-            ir, ic, onehot, n_r, n_c = window_origin(
-                point_flat, (H, W), window
+            stride = window_stride or (window // 2)
+            if H != 256:
+                window = window * H // 256
+                stride = max(stride * H // 256, 4)
+            use_win = (
+                window % 4 == 0 and stride % 4 == 0 and window < H
+                and (H - window) % stride == 0
+                and (W - window) % stride == 0
             )
+        if use_win:
+            if fg_mask is not None:
+                ir, ic, onehot, n_r, n_c = window_origin_fg(
+                    point_flat, (H, W), window, stride, fg_mask, group
+                )
+            else:
+                ir, ic, onehot, n_r, n_c = window_origin(
+                    point_flat, (H, W), window, stride
+                )
         preds: List[jnp.ndarray] = []
         x = None
         prev_pred = None
@@ -558,12 +636,12 @@ class AttenDecoder(nn.Module):
             if not (use_win and f <= 2):
                 x = lvl.call_split(x, part, point_flat, prev_pred, group)
             else:
-                wl, sl = window // f, window // (2 * f)
+                wl, sl = window // f, stride // f
                 if self.levels[i - 1].factor > 2:
                     # first windowed level: crop the previous level's
                     # full-canvas output / logits to the aligned window
                     pf = self.levels[i - 1].factor
-                    wp, sp = window // pf, window // (2 * pf)
+                    wp, sp = window // pf, stride // pf
                     x = select_window(x, onehot, n_r, n_c, wp, sp)
                     prev_pred = select_window(
                         prev_pred, onehot, n_r, n_c, wp, sp
@@ -573,7 +651,7 @@ class AttenDecoder(nn.Module):
                 )
                 x = lvl.call_split_win(
                     x, part_win, point_flat, prev_pred, group, (ir, ic),
-                    (H, W),
+                    (H, W), sl,
                 )
             pred_l = head(x)
             preds.append(pred_l)
@@ -582,7 +660,7 @@ class AttenDecoder(nn.Module):
             # full-resolution contract for the consumed finest logits:
             # outside the window the background class wins
             preds[-1] = paste_window(
-                preds[-1], onehot, n_r, n_c, (H, W), window // 2,
+                preds[-1], onehot, n_r, n_c, (H, W), stride,
                 fill=jnp.asarray([1.0, -1.0], preds[-1].dtype),
             )
         return preds
