@@ -155,16 +155,20 @@ class DecoderConfig:
     # quantised to a stride = window/2 grid so every crop/paste is a
     # static-slice select (no TPU scatter/gather, which forces layout
     # copies — PERF.md dead ends).  0 disables (decode the full canvas).
-    # Masks further than window/4 from their glimpse peak get truncated;
-    # quality impact measured on the frozen eval before defaulting on.
-    extract_window: int = 0
+    # Masks further than (window - stride)/2 from their glimpse peak get
+    # truncated.  Frozen-eval A/B (PERF.md round-5): window 192 is
+    # QUALITY-NEUTRAL (SBD 0.81270 vs 0.81272 full decode, |DiC| equal)
+    # at +14% throughput (130.4 vs 114.1 img/s), so it is the default;
+    # window 128 gives 168 img/s at -0.0096 SBD (opt-in via
+    # `pred_list --window 128`).  0 disables (full-canvas decode).
+    extract_window: int = 192
     # Origin-grid stride for the windowed decode (0 = window/2).  A
     # denser grid (e.g. 32 at window 128) centers the glimpse at least
     # (window-stride)/2 px from every window edge at IDENTICAL decode
     # compute — only the static-slice one-hot selects grow (~0.5
     # ms/round) — recovering the truncation-induced SBD loss of the
     # coarse grid.  Must divide (H - window) and be a multiple of 4.
-    extract_window_stride: int = 0
+    extract_window_stride: int = 64
     # Use the Pallas fused masked-softmax kernel for the per-instance
     # hard-attention distributions (tpuseg/kernels/masked_softmax.py).
     use_pallas_softmax: bool = False
