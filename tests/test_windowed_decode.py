@@ -121,6 +121,8 @@ def test_decode_split_windowed_contract():
     H = W = 128
     nf = 8
     B, G = 1, 2
+    # decode_split's window parameter is in 256-reference-canvas units,
+    # auto-scaled by H/256: pass 128 to get a PHYSICAL 64 window at 128²
     win = 64
     dcfg = cvppp_config().decoder
     dec = AttenDecoder(cfg=dcfg, n_filters=nf)
@@ -138,7 +140,7 @@ def test_decode_split_windowed_contract():
     parts = dec.apply(variables, skips_t, sem, method="conv1_partials")
     full = dec.apply(variables, pts, list(parts), G, method="decode_split")
     winp = dec.apply(
-        variables, pts, list(parts), G, win, method="decode_split"
+        variables, pts, list(parts), G, 2 * win, method="decode_split"
     )
     pf, pw = np.asarray(full[-1]), np.asarray(winp[-1])
     assert pw.shape == pf.shape == (B * G, H, W, 2)

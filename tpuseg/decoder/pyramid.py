@@ -606,14 +606,14 @@ class AttenDecoder(nn.Module):
         # FRACTION of native-resolution images).  Square canvases only;
         # any divisibility failure falls back to the full decode rather
         # than asserting (bucketed shapes vary).
-        use_win = bool(window) and H == W and window < H
+        use_win = bool(window) and H == W
         if use_win:
             stride = window_stride or (window // 2)
             if H != 256:
                 window = window * H // 256
                 stride = max(stride * H // 256, 4)
             use_win = (
-                window % 4 == 0 and stride % 4 == 0 and window < H
+                window % 4 == 0 and stride % 4 == 0 and 0 < window < H
                 and (H - window) % stride == 0
                 and (W - window) % stride == 0
             )
